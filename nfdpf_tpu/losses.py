@@ -1,0 +1,165 @@
+"""Training objectives: supervised RMSE, autoencoder, blockwise pseudo-likelihood.
+
+TPU-native counterparts of `/root/reference/losses.py`.  The pseudo-likelihood
+ancestor walks (`losses.py:37-106`) are vectorised with per-batch
+``take_along_axis`` gathers over the scan-emitted index history instead of the
+reference's flat-index gathers — identical semantics, gather-friendly layout.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nfdpf_tpu.ops.density import weighted_mean
+
+Array = jax.Array
+
+
+def supervised_loss(
+    particles: Array,        # (B, T, N, d)
+    weights: Array,          # (B, T, N)
+    true_state: Array,       # (B, T, >=2)
+    mask,                    # (B, T) or scalar 1.0
+    train: bool,
+    labeled_ratio: float = 1.0,
+) -> Tuple[Array, Array]:
+    """Masked RMSE of the weighted-mean estimate (`losses.py:18-31`).
+
+    Train: sqrt(mean(mask·err²)/labeled_ratio); eval: plain RMSE.
+    Returns (loss, prediction).
+    """
+    prediction = weighted_mean(particles, weights)            # (B, T, d)
+    err2 = (prediction - true_state[..., :2]) ** 2
+    if train:
+        mask_arr = jnp.asarray(mask)
+        if mask_arr.ndim == 2:
+            mask_arr = mask_arr[..., None]
+        loss = jnp.sqrt(jnp.mean(mask_arr * err2) / labeled_ratio)
+    else:
+        loss = jnp.sqrt(jnp.mean(err2))
+    return loss, prediction
+
+
+def autoencoder_loss(images: Array, reconstruction: Array) -> Array:
+    """MSE over all frames (`losses.py:5-16`).
+
+    The caller supplies the reconstruction (the filter engine already
+    computed the encodings for all frames; the reference re-encodes).
+    """
+    return jnp.mean((reconstruction - images) ** 2)
+
+
+def semi_supervised_mask(
+    key: jax.Array, batch_size: int, seq_len: int, labeled_ratio: float
+) -> Array:
+    """Exactly ⌊B·T·ratio⌋ ones shuffled over a (B, T) grid (`DPFs.py:218-229`)."""
+    total = batch_size * seq_len
+    n1 = int(total * labeled_ratio)
+    flat = jnp.concatenate([
+        jnp.zeros(total - n1), jnp.ones(n1)
+    ])
+    flat = jax.random.permutation(key, flat)
+    return flat.reshape(batch_size, seq_len)
+
+
+def _ancestor_walk(
+    likelihoods: Array,      # (B, T, N)
+    indices: Array,          # (B, T, N) within-batch ancestor indices
+    per_step_prior,          # callable j -> (B, N) prior log term at step j
+    weights: Array,          # (B, T, N)
+    block_len: int,
+) -> Array:
+    """Shared blockwise backward ancestor walk (`losses.py:47-66,82-103`).
+
+    QUIRK PRESERVED: the reference never resets ``logyita`` between blocks —
+    block k's Q term includes all previous blocks' accumulation
+    (`losses.py:45,65-66`).  Mirrored for parity.
+    Returns Q/b per batch element, shape (B,).
+    """
+    batch, seq_len, n = likelihoods.shape
+    q = jnp.zeros((batch,))
+    logyita = jnp.zeros((batch, n))
+    b_count = 0
+    take = lambda a, idx: jnp.take_along_axis(a, idx, axis=-1)  # noqa: E731
+    for k in range(seq_len):
+        if (k + 1) % block_len != 0:
+            continue
+        index_a = None
+        for j in range(k, k - block_len, -1):
+            if j == k:
+                lik = likelihoods[:, j]
+                prior = per_step_prior(j, None)
+                index_a = indices[:, j]
+            else:
+                lik = take(likelihoods[:, j], index_a)
+                prior = per_step_prior(j, index_a)
+                index_a = take(indices[:, j], index_a)
+            logyita = logyita + prior + lik
+        q = q + jnp.sum(weights[:, k] * logyita, axis=-1)
+        b_count += 1
+    return q / b_count
+
+
+def pseudolikelihood_loss(
+    weights: Array,
+    noise: Array,            # (B, T, N, d)
+    likelihoods: Array,
+    indices: Array,
+    block_len: int = 10,
+    std_pos: float = 1.0,
+    std_vel: float = 1.0,
+) -> Array:
+    """Gaussian-prior pseudo-likelihood (`losses.py:72-112`).
+
+    The per-step prior uses the stored motion noise; the constant
+    bookkeeping matches `losses.py:97-100` exactly (including the
+    always-present velocity constant even for 2-D noise).
+    """
+    log_c = -0.5 * math.log(2 * math.pi)
+
+    def prior_at(j, index_a):
+        noise_pos = noise[:, j, :, :2]
+        noise_vel = noise[:, j, :, 2:]
+        if index_a is not None:
+            noise_pos = jnp.take_along_axis(noise_pos, index_a[..., None], axis=1)
+            noise_vel = (
+                jnp.take_along_axis(noise_vel, index_a[..., None], axis=1)
+                if noise_vel.shape[-1] else noise_vel
+            )
+        term_pos = (2 * log_c - 2 * math.log(std_pos)
+                    - jnp.sum(noise_pos**2 / (2 * std_pos**2), axis=-1))
+        term_vel = (2 * log_c - 2 * math.log(std_vel)
+                    - jnp.sum(noise_vel**2 / (2 * std_vel**2), axis=-1))
+        return term_pos + term_vel
+
+    q = _ancestor_walk(likelihoods, indices, prior_at, weights, block_len)
+    return -jnp.mean(q)
+
+
+def pseudolikelihood_loss_nf(
+    weights: Array,
+    noise: Array,
+    likelihoods: Array,
+    indices: Array,
+    jacobians: Array,        # (B, T, N) — gathered but NOT added, as in ref
+    priors: Array,           # (B, T, N)
+    block_len: int = 10,
+) -> Array:
+    """NF-prior pseudo-likelihood (`losses.py:33-69`).
+
+    The reference gathers ``jac_log`` along ancestors but never adds it to
+    the accumulator (`losses.py:57,65`) — only prior + lik enter.  Mirrored.
+    """
+
+    def prior_at(j, index_a):
+        p = priors[:, j]
+        if index_a is not None:
+            p = jnp.take_along_axis(p, index_a, axis=-1)
+        return p
+
+    q = _ancestor_walk(likelihoods, indices, prior_at, weights, block_len)
+    return -jnp.mean(q)

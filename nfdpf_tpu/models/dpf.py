@@ -1,0 +1,304 @@
+"""The differentiable particle filter engine.
+
+TPU-native counterpart of `/root/reference/DPFs.py:22-216`.  The reference's
+serial Python time loop with incremental ``torch.cat`` history stacking
+(`DPFs.py:160-214`) becomes ONE ``jax.lax.scan``: the carry holds
+(particles, weights, vel, obs-likelihood accumulator, rng key) and the scan
+emits the stacked per-step histories the losses need (particles, weights,
+noise, likelihoods, ancestor indices, flow jacobians, prior terms).
+
+TPU-first design points:
+  * the conv encoder runs ONCE over all (B·T) frames before the scan — one
+    large MXU-friendly launch instead of T small ones (`DPFs.py:177`
+    encodes per step);
+  * ESS-gated resampling is a ``lax.cond`` on the scalar batch-mean ESS
+    (`DPFs.py:163-170`) — only the taken branch executes at runtime, so the
+    Sinkhorn loop costs nothing on steps that skip resampling;
+  * RNG is an explicit key threaded through the carry (the reference uses
+    impure global RNG, `model/models.py:199`);
+  * optional per-step rematerialisation (``remat_scan_step``) trades FLOPs
+    for BPTT memory over the 50-step unroll.
+
+The engine is a thin coordinator over pure linen modules: parameters live in
+a plain dict-of-variables pytree, so the whole filter is a pure function of
+(variables, batch, key) — trivially jit/pjit/shard_map-able.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nfdpf_tpu.config import DPFConfig
+from nfdpf_tpu.models.dynamics import (
+    motion_update,
+    nf_dynamic_model,
+    proposal_likelihood,
+)
+from nfdpf_tpu.models.measurement import build_measurement_model
+from nfdpf_tpu.models.nets import ObservationDecoder, ObservationEncoder
+from nfdpf_tpu.ops.density import (
+    effective_sample_size,
+    normalize_log_weights,
+    uniform_log_weights,
+)
+from nfdpf_tpu.ops.flows import realnvp_chain
+from nfdpf_tpu.ops.resampling import soft_systematic_resample
+from nfdpf_tpu.ops.sinkhorn import ot_resample
+
+Array = jax.Array
+
+
+class FilterOutput(NamedTuple):
+    """Stacked per-step filter histories (time axis second, as in the
+    reference's (B, T, ...) lists, `DPFs.py:194-216`)."""
+
+    particles: Array        # (B, T, N, d)
+    weights: Array          # (B, T, N) normalised linear (+1e-12)
+    noise: Array            # (B, T, N, d) motion noise
+    likelihoods: Array      # (B, T, N) measurement log-lik
+    indices: Array          # (B, T, N) ancestor indices (int32, within-batch)
+    jacobians: Array        # (B, T, N) dynamics-flow jac (zeros if NF off)
+    priors: Array           # (B, T, N) prior log terms (zeros if NF off)
+    init_weights_log: Array  # (B, N)
+    obs_likelihood: Array   # scalar: Σ_t mean(log w̃_t)  (`DPFs.py:191`)
+
+
+def particle_initialization(
+    key: jax.Array,
+    start_state: Array,
+    width: float,
+    num_particles: int,
+    state_dim: int = 2,
+    init_with_true_state: bool = False,
+) -> Tuple[Array, Array]:
+    """`utils.py:46-62`: true-state + N(0,1), or uniform over ±width/2."""
+    batch = start_state.shape[0]
+    if init_with_true_state:
+        noise = jax.random.normal(key, (batch, num_particles, state_dim))
+        particles = start_state[:, None, :state_dim] + noise
+    else:
+        particles = jax.random.uniform(
+            key, (batch, num_particles, 2),
+            minval=-width / 2.0, maxval=width / 2.0,
+        )
+    return particles, uniform_log_weights(batch, num_particles)
+
+
+class DPF:
+    """Filter engine + model container (reference class `DPF`, `DPFs.py:22`).
+
+    Not a linen module: submodules are applied functionally so the scan body
+    stays a pure function.  ``init`` returns a dict-of-variables pytree:
+
+        {"encoder": .., "decoder": .., "nf_dyn": .., "cond_model": ..,
+         "measurement": ..}
+    """
+
+    def __init__(self, config: DPFConfig):
+        self.config = config
+        cglow = config.measurement == "CGLOW"
+        self.enc_features = config.glow_ctx_features if cglow else config.hidden_size
+        dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+        self.encoder = ObservationEncoder(self.enc_features, compute_dtype=dtype)
+        self.decoder = ObservationDecoder(self.enc_features, compute_dtype=dtype)
+        # nf_dyn ctx = mean‖std = 2·state_dim (`DPFs.py:71`);
+        # cond_model ctx = enc ‖ mean ‖ std (`DPFs.py:72` uses hidden_size; we
+        # use the actual encoder width so CGLOW+NF-cond also composes).
+        self.nf_dyn = realnvp_chain(
+            config.n_sequence, config.state_dim, config.flow_hidden_dim, 0.01
+        )
+        self.cond_model = realnvp_chain(
+            config.n_sequence, config.state_dim, config.flow_hidden_dim, 0.01
+        )
+        self.measurement = build_measurement_model(config)
+
+    # ------------------------------------------------------------------
+    # initialisation
+    # ------------------------------------------------------------------
+
+    def init(self, key: jax.Array) -> Dict[str, Any]:
+        cfg = self.config
+        k = jax.random.split(key, 5)
+        img = jnp.zeros((1, cfg.width, cfg.width, 3))
+        enc = jnp.zeros((1, self.enc_features))
+        particles = jnp.zeros((1, 2, cfg.state_dim))
+        dyn_ctx = jnp.zeros((1, 2, 2 * cfg.state_dim))
+        cond_ctx = jnp.zeros((1, 2, 2 * cfg.state_dim + self.enc_features))
+        variables = {
+            "encoder": self.encoder.init(k[0], img, train=False),
+            "decoder": self.decoder.init(k[1], enc, train=False),
+            "nf_dyn": self.nf_dyn.init(k[2], particles, dyn_ctx),
+            "cond_model": self.cond_model.init(k[3], particles, cond_ctx),
+            "measurement": self.measurement.init(k[4], enc, particles),
+        }
+        return variables
+
+    # ------------------------------------------------------------------
+    # sub-model application helpers
+    # ------------------------------------------------------------------
+
+    def encode(self, variables, images: Array, train: bool):
+        """Apply the conv encoder; returns (encodings, new_batch_stats).
+
+        images: (..., H, W, 3) — any leading batch shape.
+        """
+        if train:
+            enc, updates = self.encoder.apply(
+                variables["encoder"], images, train=True,
+                mutable=["batch_stats"],
+            )
+            return enc, updates["batch_stats"]
+        enc = self.encoder.apply(variables["encoder"], images, train=False)
+        return enc, variables["encoder"].get("batch_stats")
+
+    def decode(self, variables, encodings: Array, train: bool):
+        if train:
+            img, updates = self.decoder.apply(
+                variables["decoder"], encodings, train=True,
+                mutable=["batch_stats"],
+            )
+            return img, updates["batch_stats"]
+        img = self.decoder.apply(variables["decoder"], encodings, train=False)
+        return img, variables["decoder"].get("batch_stats")
+
+    def _measure_fn(self, variables):
+        return lambda enc, particles: self.measurement.apply(
+            variables["measurement"], enc, particles
+        )
+
+    def _resample(self, key, particles, probs):
+        cfg = self.config
+        if cfg.resampler_type == "soft":
+            return soft_systematic_resample(key, particles, probs, cfg.alpha)
+        if cfg.resampler_type == "ot":
+            return ot_resample(
+                particles, probs, eps=cfg.epsilon, scaling=cfg.scaling,
+                threshold=cfg.threshold, max_iter=cfg.max_iter,
+                transport_grad=cfg.ot_transport_grad,
+                convergence=cfg.sinkhorn_convergence,
+            )
+        raise ValueError(f"unknown resampler {cfg.resampler_type!r}")
+
+    # ------------------------------------------------------------------
+    # the filter
+    # ------------------------------------------------------------------
+
+    def filter_from_encodings(
+        self,
+        variables,
+        encodings: Array,       # (B, T, h) — precomputed, one big conv pass
+        start_state: Array,     # (B, 4) pos+vel
+        vel_seq: Array,         # (B, T, 2) teacher-forced velocity inputs
+        key: jax.Array,
+        train: bool = True,
+    ) -> FilterOutput:
+        cfg = self.config
+        batch, seq_len = encodings.shape[:2]
+        n = cfg.num_particles
+
+        k_init, k_scan = jax.random.split(key)
+        particles, init_w_log = particle_initialization(
+            k_init, start_state[:, :2], cfg.width, n, cfg.state_dim,
+            cfg.init_with_true_state,
+        )
+        probs = normalize_log_weights(init_w_log)
+        vel0 = start_state[:, 2:]
+
+        measure_fn = self._measure_fn(variables)
+
+        def step(carry, xs):
+            particles, probs, vel, obs_lik, key = carry
+            enc_t, vel_t = xs
+            key, k_rs, k_motion = jax.random.split(key, 3)
+
+            ess = effective_sample_size(probs)
+            particles_r, probs_r, idx = jax.lax.cond(
+                ess < cfg.ess_threshold * n,
+                lambda: self._resample(k_rs, particles, probs),
+                lambda: (
+                    particles,
+                    probs,
+                    jnp.broadcast_to(
+                        jnp.arange(n, dtype=jnp.int32)[None, :], (batch, n)
+                    ),
+                ),
+            )
+            log_probs_r = jnp.log(probs_r)
+
+            particles_phys, noise = motion_update(
+                k_motion, particles_r, vel, cfg.pos_noise
+            )
+            new_vel = vel_t                                   # DPFs.py:173
+
+            particles_dyn, jac = nf_dynamic_model(
+                self.nf_dyn, variables["nf_dyn"], particles_phys,
+                use_nf=cfg.nf_dyn,
+            )
+
+            propose, lki_log, prior_log, propose_log = proposal_likelihood(
+                self.cond_model, variables["cond_model"],
+                self.nf_dyn, variables["nf_dyn"],
+                measure_fn,
+                particles_dyn, particles_phys, enc_t, noise, jac,
+                cfg.nf_dyn, cfg.nf_cond, cfg.pos_noise, cfg.vel_noise,
+            )
+
+            log_w = log_probs_r + lki_log + prior_log - propose_log
+            obs_lik = obs_lik + jnp.mean(log_w)               # DPFs.py:191
+            new_probs = normalize_log_weights(log_w) + 1e-12  # DPFs.py:192
+
+            carry = (propose, new_probs, new_vel, obs_lik, key)
+            ys = (propose, new_probs, noise, lki_log, idx, jac, prior_log)
+            return carry, ys
+
+        if cfg.remat_scan_step:
+            step = jax.checkpoint(step)
+
+        xs = (
+            jnp.moveaxis(encodings, 0, 1),   # (T, B, h)
+            jnp.moveaxis(vel_seq, 0, 1),     # (T, B, 2)
+        )
+        carry0 = (particles, probs, vel0, jnp.asarray(0.0), k_scan)
+        carry, ys = jax.lax.scan(step, carry0, xs)
+        (p_hist, w_hist, n_hist, l_hist, i_hist, j_hist, pr_hist) = ys
+
+        t_to_b = lambda a: jnp.moveaxis(a, 0, 1)  # noqa: E731  (T,B,...)→(B,T,...)
+        return FilterOutput(
+            particles=t_to_b(p_hist),
+            weights=t_to_b(w_hist),
+            noise=t_to_b(n_hist),
+            likelihoods=t_to_b(l_hist),
+            indices=t_to_b(i_hist),
+            jacobians=t_to_b(j_hist),
+            priors=t_to_b(pr_hist),
+            init_weights_log=init_w_log,
+            obs_likelihood=carry[3],
+        )
+
+    def filter(
+        self,
+        variables,
+        images: Array,          # (B, T, H, W, 3)
+        start_state: Array,
+        vel_seq: Array,
+        key: jax.Array,
+        train: bool = True,
+    ) -> Tuple[FilterOutput, Array, Any]:
+        """Full pass: encode all frames once, then scan.
+
+        Returns (FilterOutput, encodings (B,T,h), new encoder batch_stats).
+        """
+        b, t = images.shape[:2]
+        enc_flat, bn = self.encode(
+            variables, images.reshape((b * t,) + images.shape[2:]), train
+        )
+        encodings = enc_flat.reshape(b, t, -1)
+        out = self.filter_from_encodings(
+            variables, encodings, start_state, vel_seq, key, train
+        )
+        return out, encodings, bn
