@@ -1,0 +1,110 @@
+"""CLI entry: train → validate → test on the disk-tracking task.
+
+Counterpart of `/root/reference/main.py`: seeds, run-id construction,
+``logs/<run_id>/{models,data}`` artifact layout, train/val/test flow.  Extra
+convenience over the reference: if the dataset directory is empty the
+JAX-native simulator generates it in place (the reference requires a manual
+cv2 generation step first).
+
+    python -m nfdpf_tpu.main --resampler_type soft --measurement cos
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import numpy as np
+
+from nfdpf_tpu.config import DPFConfig, parse_args
+from nfdpf_tpu.data.dataset import DiskDataset, iterate_batches
+from nfdpf_tpu.data.simulator import generate_dataset
+from nfdpf_tpu.train import Trainer
+from nfdpf_tpu.utils.metrics import MetricsLogger
+
+
+def get_run_id(cfg: DPFConfig) -> str:
+    """`main.py:19-21` run-id hyperparameter string."""
+    return "{}_NF^{}_{}_{}_{}_{}_{}_resample^{}_{}".format(
+        cfg.seed, cfg.nf_dyn, cfg.train_type, cfg.pos_noise, cfg.vel_noise,
+        cfg.nf_lr, cfg.lr, cfg.resampler_type, cfg.measurement,
+    )
+
+
+def ensure_dataset(cfg: DPFConfig, num_examples: int = 200) -> str:
+    """Dataset filename prefix coupled to --true-pos-noise (`main.py:44`)."""
+    filename = f"toy_pn={cfg.true_pos_noise}_d=25_const"
+    probe = os.path.join(cfg.data_path, f"{filename}0_train.npz")
+    if not os.path.exists(probe):
+        print(f"dataset not found at {probe}; generating "
+              f"{num_examples} sequences with the JAX simulator ...")
+        generate_dataset(
+            cfg.data_path, num_examples=num_examples,
+            file_size=max(num_examples, 10),
+            num_distractors=25, pos_noise=cfg.true_pos_noise,
+            sequence_length=cfg.sequence_length, im_size=cfg.width,
+            seed=cfg.seed,
+        )
+    return filename
+
+
+def main(argv=None) -> None:
+    cfg = parse_args(argv)
+    np.random.seed(cfg.seed)
+    run_id = get_run_id(cfg)
+    run_dir = os.path.join("logs", run_id)
+    os.makedirs(os.path.join(run_dir, "models"), exist_ok=True)
+    os.makedirs(os.path.join(run_dir, "data"), exist_ok=True)
+    print(cfg)
+
+    filename = ensure_dataset(cfg)
+    train_ds = DiskDataset(cfg.data_path, filename, "train_data")
+    val_ds = DiskDataset(cfg.data_path, filename, "val_data")
+    test_ds = DiskDataset(cfg.data_path, filename, "test_data")
+    val_bs = min(50, len(val_ds))
+    test_bs = min(50, len(test_ds))
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
+
+    ckpt_best = os.path.join(run_dir, "models", "best")
+    if cfg.resume and os.path.isdir(ckpt_best):
+        print("resuming from", ckpt_best)
+        state = trainer.load(ckpt_best, state)
+
+    train_iter = lambda epoch: iterate_batches(  # noqa: E731
+        train_ds, cfg.batch_size, shuffle=True, drop_last=True,
+        seed=cfg.seed + epoch,
+    )
+    val_iter = lambda: iterate_batches(  # noqa: E731
+        val_ds, val_bs, shuffle=False, drop_last=True
+    )
+    test_iter = lambda: iterate_batches(  # noqa: E731
+        test_ds, test_bs, shuffle=False, drop_last=True
+    )
+
+    if not cfg.testing:
+        if cfg.pretrain_ae:
+            print("pretraining autoencoder ...")
+            state = trainer.pretrain_ae(train_iter, state, num_epochs=300)
+        if cfg.e2e_train:
+            print("end-to-end training ...")
+            logger = MetricsLogger(os.path.join(run_dir, "logger"))
+            state = trainer.fit(
+                train_iter, val_iter, run_dir,
+                num_epochs=cfg.num_epochs, state=state, logger=logger,
+                seed=cfg.seed,
+            )
+        trainer.save(os.path.join(run_dir, "models", "final"), state)
+    else:
+        ckpt = os.path.join(cfg.model_path, "best")
+        if os.path.isdir(ckpt):
+            print("loading trained model from", ckpt)
+            state = trainer.load(ckpt, state)
+
+    trainer.test(test_iter, state, run_dir, seed=cfg.seed)
+
+
+if __name__ == "__main__":
+    main()

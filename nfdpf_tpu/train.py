@@ -1,0 +1,356 @@
+"""Training harness: losses → optax → epoch loops → artifacts.
+
+TPU-native counterpart of `/root/reference/DPFs.py:96-142,231-451` (forward
+loss assembly, AE pretraining, end-to-end training, testing) and
+`main.py:23-64` orchestration.  The per-batch work is ONE jitted function
+(forward filter + all losses + grads + Adam update); BN batch-stats updates
+ride along functionally.
+
+Loss weighting parity (`DPFs.py:118-138`): total = 1.0·sup + 2.0·ae for DPF,
+plus 0.01·pseudo-likelihood for SDPF (NF or Gaussian variant by --NF-dyn).
+Teacher-forced velocity gets N(0, 4²) noise (`DPFs.py:105`).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from nfdpf_tpu import losses as L
+from nfdpf_tpu.config import DPFConfig
+from nfdpf_tpu.models.dpf import DPF, FilterOutput
+from nfdpf_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from nfdpf_tpu.utils.metrics import MetricsLogger
+
+Array = jax.Array
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any          # {module: params-subtree}
+    rest: Any            # {module: non-param collections (batch_stats, constants)}
+    opt_state: Any
+    epoch: int
+
+
+def _split_variables(variables: Dict[str, Any]):
+    params = {k: v["params"] for k, v in variables.items()}
+    rest = {
+        k: {c: v[c] for c in v if c != "params"} for k, v in variables.items()
+    }
+    return params, rest
+
+
+def _merge_variables(params, rest):
+    return {k: {"params": params[k], **rest[k]} for k in params}
+
+
+class Trainer:
+    def __init__(self, config: DPFConfig):
+        self.config = config
+        self.engine = DPF(config)
+        # constant lr: the reference's MultiStepLR has gamma=1.0, a no-op
+        # scheduler (`DPFs.py:94`).
+        self.tx = optax.adam(config.lr)
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        variables = self.engine.init(key)
+        params, rest = _split_variables(variables)
+        return TrainState(
+            params=params, rest=rest, opt_state=self.tx.init(params), epoch=0
+        )
+
+    # ------------------------------------------------------------------
+    # loss assembly (`DPFs.py:96-142`)
+    # ------------------------------------------------------------------
+
+    def _loss(self, params, rest, batch, key, train: bool):
+        cfg = self.config
+        engine = self.engine
+        variables = _merge_variables(params, rest)
+
+        images = batch["image"]                       # (B, T, H, W, 3)
+        state = batch["state"]                        # (B, T, 4)
+        start_state = batch["start_state"]            # (B, 4)
+        b, t = images.shape[:2]
+
+        k_vel, k_filter, k_mask = jax.random.split(key, 3)
+        vel = state[..., 2:] + 4.0 * jax.random.normal(k_vel, state[..., 2:].shape)
+
+        out, encodings, enc_bn = engine.filter(
+            variables, images, start_state, vel, k_filter, train=train
+        )
+
+        if train:
+            mask = L.semi_supervised_mask(k_mask, b, t, cfg.labeled_ratio)
+        else:
+            mask = 1.0
+        loss_sup, predictions = L.supervised_loss(
+            out.particles, out.weights, state, mask, train, cfg.labeled_ratio
+        )
+
+        # AE loss reuses the filter's encodings — the reference re-encodes
+        # every frame a second time (`losses.py:5-16`); same parameters, same
+        # gradient paths, half the conv FLOPs.
+        recon, dec_bn = engine.decode(
+            variables, encodings.reshape(b * t, -1), train=train
+        )
+        loss_ae = L.autoencoder_loss(
+            images.reshape((b * t,) + images.shape[2:]), recon
+        )
+
+        loss_pl = jnp.asarray(0.0)
+        if cfg.train_type == "SDPF":
+            if cfg.nf_dyn:
+                loss_pl = L.pseudolikelihood_loss_nf(
+                    out.weights, out.noise, out.likelihoods, out.indices,
+                    out.jacobians, out.priors, cfg.block_length,
+                )
+            else:
+                loss_pl = L.pseudolikelihood_loss(
+                    out.weights, out.noise, out.likelihoods, out.indices,
+                    cfg.block_length, cfg.pos_noise, cfg.vel_noise,
+                )
+            total = 1.0 * loss_sup + 0.01 * loss_pl + 2.0 * loss_ae
+        elif cfg.train_type == "DPF":
+            total = 1.0 * loss_sup + 2.0 * loss_ae
+        else:
+            raise ValueError(
+                "trainType must be DPF (supervised) or SDPF (semi-supervised)"
+            )
+
+        new_rest = dict(rest)
+        if train:
+            new_rest = {
+                **rest,
+                "encoder": {**rest["encoder"], "batch_stats": enc_bn},
+                "decoder": {**rest["decoder"], "batch_stats": dec_bn},
+            }
+        aux = {
+            "loss_sup": loss_sup,
+            "loss_ae": loss_ae,
+            "loss_pseudolik": loss_pl,
+            "obs_likelihood": out.obs_likelihood,
+            "predictions": predictions,
+            "filter_out": out,
+            "new_rest": new_rest,
+        }
+        return total, aux
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+
+    def make_train_step(self):
+        tx = self.tx
+
+        @jax.jit
+        def train_step(state: TrainState, batch, key):
+            (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                state.params, state.rest, batch, key, True
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=params, opt_state=opt_state, rest=aux["new_rest"]
+            )
+            metrics = {
+                "loss": loss,
+                "loss_sup": aux["loss_sup"],
+                "loss_ae": aux["loss_ae"],
+                "loss_pseudolik": aux["loss_pseudolik"],
+                "obs_likelihood": aux["obs_likelihood"],
+            }
+            return new_state, metrics
+
+        return train_step
+
+    def make_eval_step(self):
+        @jax.jit
+        def eval_step(state: TrainState, batch, key):
+            loss, aux = self._loss(state.params, state.rest, batch, key, False)
+            return {
+                "loss": loss,
+                "loss_sup": aux["loss_sup"],
+                "loss_ae": aux["loss_ae"],
+                "obs_likelihood": aux["obs_likelihood"],
+            }, aux
+
+        return eval_step
+
+    def make_ae_pretrain_step(self):
+        """AE-only loop step (`DPFs.py:231-302`): MSE(decode(encode(img)), img),
+        full-model Adam (the reference steps the shared optimizer)."""
+        tx = self.tx
+        engine = self.engine
+
+        def ae_loss(params, rest, images):
+            variables = _merge_variables(params, rest)
+            feats, enc_bn = engine.encode(variables, images, train=True)
+            recon, dec_bn = engine.decode(variables, feats, train=True)
+            loss = jnp.mean((recon - images) ** 2)
+            new_rest = {
+                **rest,
+                "encoder": {**rest["encoder"], "batch_stats": enc_bn},
+                "decoder": {**rest["decoder"], "batch_stats": dec_bn},
+            }
+            return loss, new_rest
+
+        @jax.jit
+        def ae_step(state: TrainState, images):
+            (loss, new_rest), grads = jax.value_and_grad(ae_loss, has_aux=True)(
+                state.params, state.rest, images
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(params=params, opt_state=opt_state,
+                                 rest=new_rest), loss
+
+        return ae_step
+
+    # ------------------------------------------------------------------
+    # epoch loops (`DPFs.py:304-417`)
+    # ------------------------------------------------------------------
+
+    def fit(
+        self,
+        train_batches,            # callable(epoch) -> iterator of dict batches
+        valid_batches,            # callable() -> iterator
+        run_dir: str,
+        num_epochs: Optional[int] = None,
+        state: Optional[TrainState] = None,
+        logger: Optional[MetricsLogger] = None,
+        seed: int = 0,
+    ) -> TrainState:
+        cfg = self.config
+        num_epochs = num_epochs or cfg.num_epochs
+        os.makedirs(os.path.join(run_dir, "models"), exist_ok=True)
+        os.makedirs(os.path.join(run_dir, "data"), exist_ok=True)
+        logger = logger or MetricsLogger(os.path.join(run_dir, "logger"))
+        if state is None:
+            state = self.init_state(jax.random.PRNGKey(cfg.seed))
+
+        train_step = self.make_train_step()
+        eval_step = self.make_eval_step()
+        key = jax.random.PRNGKey(seed)
+        best_eval = float("inf")
+        eval_loss_epoch = []
+
+        for epoch in range(int(state.epoch), num_epochs):
+            train_metrics = []
+            for batch in train_batches(epoch):
+                key, sub = jax.random.split(key)
+                state, m = train_step(state, batch, sub)
+                train_metrics.append(jax.device_get(m))
+            mean_sup = float(np.mean([m["loss_sup"] for m in train_metrics]))
+            logger.scalar("Sup_loss/loss", mean_sup, epoch)
+
+            eval_metrics = []
+            last_aux = None
+            for batch in valid_batches():
+                key, sub = jax.random.split(key)
+                m, aux = eval_step(state, batch, sub)
+                eval_metrics.append(jax.device_get(m))
+                last_aux = (aux, batch)
+            mean_eval = float(np.mean([m["loss_sup"] for m in eval_metrics]))
+            logger.scalar("Sup_loss_eval/loss", mean_eval, epoch)
+            eval_loss_epoch.append(mean_eval)
+            np.save(os.path.join(run_dir, "data", "eval_loss_epoch.npy"),
+                    np.asarray(eval_loss_epoch))
+            print(f"epoch {epoch}: train_sup={mean_sup:.4f} "
+                  f"eval_sup={mean_eval:.4f}")
+
+            state = state.replace(epoch=epoch + 1)
+            if mean_eval < best_eval and last_aux is not None:
+                best_eval = mean_eval
+                aux, batch = last_aux
+                out: FilterOutput = aux["filter_out"]
+                np.savez(
+                    os.path.join(run_dir, "data", "eval_result_best.npz"),
+                    particle_list=np.asarray(out.particles),
+                    particle_weight_list=np.asarray(out.weights),
+                    likelihood_list=np.asarray(out.likelihoods),
+                    pred=np.asarray(aux["predictions"]),
+                    state=np.asarray(batch["state"]),
+                    loss=np.asarray([m["loss_sup"] for m in eval_metrics]),
+                )
+                save_checkpoint(
+                    os.path.join(run_dir, "models", "best"),
+                    {"params": state.params, "rest": state.rest,
+                     "opt_state": state.opt_state,
+                     "epoch": jnp.asarray(state.epoch)},
+                )
+        return state
+
+    def pretrain_ae(self, train_batches, state: TrainState,
+                    num_epochs: int = 300) -> TrainState:
+        ae_step = self.make_ae_pretrain_step()
+        for epoch in range(num_epochs):
+            losses = []
+            for batch in train_batches(epoch):
+                images = batch["image"]
+                b, t = images.shape[:2]
+                state, loss = ae_step(
+                    state, images.reshape((b * t,) + images.shape[2:])
+                )
+                losses.append(float(loss))
+            print(f"AE pretrain epoch {epoch}: {np.mean(losses):.5f}")
+        return state
+
+    def test(self, test_batches, state: TrainState, run_dir: str,
+             seed: int = 0) -> float:
+        """`DPFs.py:419-451`: one no-grad pass, saves losses + full histories."""
+        eval_step = self.make_eval_step()
+        key = jax.random.PRNGKey(seed)
+        losses = []
+        last = None
+        for batch in test_batches():
+            key, sub = jax.random.split(key)
+            m, aux = eval_step(state, batch, sub)
+            losses.append(float(m["loss_sup"]))
+            last = (aux, batch)
+        os.makedirs(os.path.join(run_dir, "data"), exist_ok=True)
+        np.save(os.path.join(run_dir, "data", "test_loss_epoch.npy"),
+                np.asarray(losses))
+        if last is not None:
+            aux, batch = last
+            out: FilterOutput = aux["filter_out"]
+            np.savez(
+                os.path.join(run_dir, "data", "test_result.npz"),
+                particle_list=np.asarray(out.particles),
+                particle_weight_list=np.asarray(out.weights),
+                likelihood_list=np.asarray(out.likelihoods),
+                state=np.asarray(batch["state"]),
+                pred=np.asarray(aux["predictions"]),
+                images=np.asarray(batch["image"]),
+                noise=np.asarray(out.noise),
+            )
+        mean_loss = float(np.mean(losses))
+        print(f"test loss: {mean_loss:.4f}")
+        return mean_loss
+
+    # ------------------------------------------------------------------
+
+    def save(self, path: str, state: TrainState) -> None:
+        save_checkpoint(path, {
+            "params": state.params, "rest": state.rest,
+            "opt_state": state.opt_state, "epoch": jnp.asarray(state.epoch),
+        })
+
+    def load(self, path: str, state: TrainState) -> TrainState:
+        tree = restore_checkpoint(path, {
+            "params": state.params, "rest": state.rest,
+            "opt_state": state.opt_state, "epoch": jnp.asarray(state.epoch),
+        })
+        return TrainState(
+            params=tree["params"], rest=tree["rest"],
+            opt_state=tree["opt_state"], epoch=int(tree["epoch"]),
+        )

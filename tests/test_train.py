@@ -1,0 +1,130 @@
+"""Training harness: jitted steps, BN stats flow, checkpoint round-trip,
+and a tiny end-to-end smoke run of the CLI flow."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nfdpf_tpu.config import DPFConfig
+from nfdpf_tpu.data.dataset import DiskDataset, iterate_batches
+from nfdpf_tpu.data.simulator import generate_dataset
+from nfdpf_tpu.train import Trainer
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        num_particles=12, sequence_length=4, batch_size=2, width=128,
+        resampler_type="soft", measurement="cos", num_epochs=1,
+    )
+    base.update(kw)
+    return DPFConfig(**base)
+
+
+def _tiny_batch(key, cfg, batch=2):
+    ks = jax.random.split(key, 3)
+    t = cfg.sequence_length
+    return {
+        "image": jax.random.uniform(ks[0], (batch, t, 128, 128, 3)),
+        "state": jax.random.normal(ks[1], (batch, t, 4)) * 10,
+        "start_state": jax.random.normal(ks[2], (batch, 4)) * 10,
+    }
+
+
+def test_train_step_updates_params_and_batchstats():
+    cfg = _tiny_cfg()
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = _tiny_batch(jax.random.PRNGKey(1), cfg)
+    step = trainer.make_train_step()
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert bool(jnp.isfinite(metrics["loss"]))
+    # params changed (check subtrees that receive gradient with NF off:
+    # cond_model/nf_dyn correctly stay frozen in this config)
+    for sub in ("encoder", "decoder", "measurement"):
+        p0 = jax.tree_util.tree_leaves(state.params[sub])
+        p1 = jax.tree_util.tree_leaves(new_state.params[sub])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(p0, p1)
+        ), f"{sub} params did not update"
+    # encoder batch stats changed
+    b0 = jax.tree_util.tree_leaves(state.rest["encoder"]["batch_stats"])[0]
+    b1 = jax.tree_util.tree_leaves(new_state.rest["encoder"]["batch_stats"])[0]
+    assert not np.allclose(np.asarray(b0), np.asarray(b1))
+
+
+def test_sdpf_pseudolikelihood_in_loss():
+    cfg = _tiny_cfg(train_type="SDPF", block_length=2, labeled_ratio=0.5)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = _tiny_batch(jax.random.PRNGKey(1), cfg)
+    step = trainer.make_train_step()
+    _, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert float(jnp.abs(metrics["loss_pseudolik"])) > 0
+    assert bool(jnp.isfinite(metrics["loss"]))
+
+
+def test_sdpf_nf_variant():
+    cfg = _tiny_cfg(train_type="SDPF", nf_dyn=True, nf_cond=True,
+                    block_length=2)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = _tiny_batch(jax.random.PRNGKey(1), cfg)
+    step = trainer.make_train_step()
+    _, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert bool(jnp.isfinite(metrics["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _tiny_cfg()
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = state.replace(epoch=7)
+    path = str(tmp_path / "ckpt")
+    trainer.save(path, state)
+    fresh = trainer.init_state(jax.random.PRNGKey(42))
+    restored = trainer.load(path, fresh)
+    assert restored.epoch == 7
+    l0 = jax.tree_util.tree_leaves(state.params)
+    l1 = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(l0, l1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_ae_pretrain_step():
+    cfg = _tiny_cfg()
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    step = trainer.make_ae_pretrain_step()
+    images = jax.random.uniform(jax.random.PRNGKey(1), (4, 128, 128, 3))
+    losses = []
+    for _ in range(3):
+        state, loss = step(state, images)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_fit_and_test_end_to_end(tmp_path):
+    """Mini CLI flow: generate data → 2 epochs fit → test, real artifacts."""
+    data_dir = str(tmp_path / "data")
+    generate_dataset(data_dir, num_examples=8, file_size=10,
+                     num_distractors=3, pos_noise=2.0, sequence_length=4,
+                     seed=0)
+    ds = DiskDataset(data_dir, "toy_pn=2.0_d=3_const", "train_data")
+    val = DiskDataset(data_dir, "toy_pn=2.0_d=3_const", "val_data")
+    cfg = _tiny_cfg(num_epochs=2)
+    trainer = Trainer(cfg)
+    run_dir = str(tmp_path / "run")
+    batches = lambda epoch=0: iterate_batches(ds, 2, seed=epoch)  # noqa: E731
+    vbatches = lambda: iterate_batches(val, 1, shuffle=False)     # noqa: E731
+    state = trainer.fit(batches, vbatches, run_dir, num_epochs=2)
+    assert state.epoch == 2
+    assert os.path.exists(os.path.join(run_dir, "data", "eval_loss_epoch.npy"))
+    assert os.path.exists(os.path.join(run_dir, "data", "eval_result_best.npz"))
+    assert os.path.isdir(os.path.join(run_dir, "models", "best"))
+    loss = trainer.test(vbatches, state, run_dir)
+    assert np.isfinite(loss)
+    assert os.path.exists(os.path.join(run_dir, "data", "test_result.npz"))
