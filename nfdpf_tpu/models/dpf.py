@@ -99,8 +99,12 @@ class DPF:
          "measurement": ..}
     """
 
-    def __init__(self, config: DPFConfig):
+    def __init__(self, config: DPFConfig, mesh=None):
         self.config = config
+        # optional jax.sharding.Mesh ('data', 'particle'): when set, the
+        # filter pins particles/weights to the mesh so GSPMD keeps the
+        # particle axis sharded across steps (see parallel/mesh.py).
+        self.mesh = mesh
         cglow = config.measurement == "CGLOW"
         self.enc_features = config.glow_ctx_features if cglow else config.hidden_size
         dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
@@ -201,12 +205,16 @@ class DPF:
         batch, seq_len = encodings.shape[:2]
         n = cfg.num_particles
 
+        from nfdpf_tpu.parallel.mesh import constrain
+
         k_init, k_scan = jax.random.split(key)
         particles, init_w_log = particle_initialization(
             k_init, start_state[:, :2], cfg.width, n, cfg.state_dim,
             cfg.init_with_true_state,
         )
+        particles = constrain(particles, self.mesh, "data", "particle")
         probs = normalize_log_weights(init_w_log)
+        probs = constrain(probs, self.mesh, "data", "particle")
         vel0 = start_state[:, 2:]
 
         measure_fn = self._measure_fn(variables)
@@ -252,6 +260,8 @@ class DPF:
             obs_lik = obs_lik + jnp.mean(log_w)               # DPFs.py:191
             new_probs = normalize_log_weights(log_w) + 1e-12  # DPFs.py:192
 
+            propose = constrain(propose, self.mesh, "data", "particle")
+            new_probs = constrain(new_probs, self.mesh, "data", "particle")
             carry = (propose, new_probs, new_vel, obs_lik, key)
             ys = (propose, new_probs, noise, lki_log, idx, jac, prior_log)
             return carry, ys

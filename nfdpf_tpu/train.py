@@ -52,9 +52,10 @@ def _merge_variables(params, rest):
 
 
 class Trainer:
-    def __init__(self, config: DPFConfig):
+    def __init__(self, config: DPFConfig, mesh=None):
         self.config = config
-        self.engine = DPF(config)
+        self.mesh = mesh
+        self.engine = DPF(config, mesh=mesh)
         # constant lr: the reference's MultiStepLR has gamma=1.0, a no-op
         # scheduler (`DPFs.py:94`).
         self.tx = optax.adam(config.lr)
