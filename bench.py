@@ -55,14 +55,16 @@ def measure_jax() -> float:
     }
     step = trainer.make_train_step()
 
-    # warmup / compile
-    state, m = step(state, batch, jax.random.PRNGKey(2))
+    # warmup: compile + let the dispatch pipeline settle (the remote-chip
+    # tunnel needs several steps before steady state)
+    for i in range(8):
+        state, m = step(state, batch, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(m["loss"])
 
-    iters = 5
+    iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
-        state, m = step(state, batch, jax.random.PRNGKey(3 + i))
+        state, m = step(state, batch, jax.random.PRNGKey(100 + i))
     jax.block_until_ready(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     return BATCH * NUM_PARTICLES * SEQ_LEN / dt

@@ -180,6 +180,19 @@ class DPF:
         if cfg.resampler_type == "soft":
             return soft_systematic_resample(key, particles, probs, cfg.alpha)
         if cfg.resampler_type == "ot":
+            if cfg.use_pallas and not cfg.ot_transport_grad:
+                # flash-style streaming Sinkhorn: O(N·d) HBM traffic instead
+                # of materialised (B, N, N) cost matrices — required beyond
+                # ~N=8k where the dense path exhausts HBM.
+                from nfdpf_tpu.ops.pallas.sinkhorn_pallas import (
+                    ot_resample_pallas,
+                )
+
+                return ot_resample_pallas(
+                    particles, probs, eps=cfg.epsilon, scaling=cfg.scaling,
+                    threshold=cfg.threshold, max_iter=cfg.max_iter,
+                    convergence=cfg.sinkhorn_convergence,
+                )
             return ot_resample(
                 particles, probs, eps=cfg.epsilon, scaling=cfg.scaling,
                 threshold=cfg.threshold, max_iter=cfg.max_iter,

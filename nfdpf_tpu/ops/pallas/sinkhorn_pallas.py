@@ -1,0 +1,365 @@
+"""Flash-style Pallas kernels for large-N entropy-regularised OT resampling.
+
+The dense Sinkhorn path (`nfdpf_tpu/ops/sinkhorn.py`) materialises (B, N, N)
+cost matrices — at N=10k that is 400 MB per matrix in HBM and every softmin
+re-reads it.  These kernels stream instead: each row block recomputes its
+cost block on the fly from the (N, d) particle coordinates (d=2 → a handful
+of VPU ops per tile) while maintaining a running max/sum logsumexp, exactly
+the FlashAttention recurrence.  HBM traffic drops from O(N²) to O(N·d) per
+softmin — bandwidth-optimal for this op.
+
+Kernels:
+  * ``streaming_lse``       out_i = logsumexp_j(f_j − C_ij/ε)
+  * ``streaming_softmin``   −ε · streaming_lse  (`resamplers.py:94-110`)
+  * ``streaming_transport_apply``  out = T @ v without building
+        T_ij = exp(r_i + c_j − C_ij/ε)
+    (`resamplers.py:194-210` + the T@x of `resamplers.py:256`), with a
+    custom VJP that streams Tᵀ@g for the particle-value gradient — the exact
+    gradient topology of the reference (T itself detached,
+    `resamplers.py:234-245`).
+  * ``ot_resample_pallas``  the full ε-annealed self-transport resampler.
+
+Self-transport only (y ≡ x), which is the particle-resampling case.
+
+TPU layout notes: per-batch vectors ride as (B, 1, N) so every block's last
+two dims satisfy Mosaic's (8, 128) tiling rules; ε rides whole-array in SMEM
+indexed by ``pl.program_id(0)``; row/col blocks are multiples of 128.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+BLOCK_ROWS = 256
+BLOCK_COLS = 512
+NEG_INF = -1e30
+
+_INTERPRET = False  # flipped by tests on CPU
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad_axis1(x: Array, n_pad: int, value: float = 0.0) -> Array:
+    pad = n_pad - x.shape[1]
+    if pad == 0:
+        return x
+    cfg = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+    return jnp.pad(x, cfg, constant_values=value)
+
+
+def _blocks(n: int, m: int) -> Tuple[int, int, int, int]:
+    """(block_rows, block_cols, n_pad, m_pad), all multiples of 128."""
+    block_rows = min(BLOCK_ROWS, _round_up(n, 128))
+    block_cols = min(BLOCK_COLS, _round_up(m, 128))
+    return block_rows, block_cols, _round_up(n, block_rows), _round_up(m, block_cols)
+
+
+# ---------------------------------------------------------------------------
+# streaming logsumexp
+# ---------------------------------------------------------------------------
+
+
+def _lse_kernel(eps_ref, x_ref, y_ref, f_ref, o_ref, *, block_cols, n_cols,
+                dim, groups):
+    """One (batch, row-block) program: streaming logsumexp over column blocks
+    for ``groups`` potential vectors SHARING one cost computation — one
+    Sinkhorn iteration needs 4 softmins over the same cost matrix
+    (`resamplers.py:135-141`), so fusing them quarters the distance math and
+    the x/y traffic.
+
+    eps_ref: (B, 1) whole-array SMEM; x_ref: (1, BR, d); y_ref: (1, M, d);
+    f_ref: (1, G, M); o_ref: (1, G, BR).
+    """
+    eps = eps_ref[pl.program_id(0), 0]
+    block_rows = x_ref.shape[1]
+    num_blocks = n_cols // block_cols
+
+    def body(j, carry):
+        m, s = carry                                           # (G, BR) each
+        yb = y_ref[0, pl.ds(j * block_cols, block_cols), :]    # (BC, d)
+        dist2 = jnp.zeros((block_rows, block_cols), jnp.float32)
+        for k in range(dim):
+            diff = x_ref[0, :, k][:, None] - yb[:, k][None, :]
+            dist2 = dist2 + diff * diff
+        neg_cost = -0.5 * dist2 / eps                          # (BR, BC)
+        new_ms, new_ss = [], []
+        for g in range(groups):
+            fb = f_ref[0, g, pl.ds(j * block_cols, block_cols)]
+            val = fb[None, :] + neg_cost
+            bm = jnp.max(val, axis=1)                          # (BR,)
+            new_m = jnp.maximum(m[g], bm)
+            new_s = s[g] * jnp.exp(m[g] - new_m) + jnp.sum(
+                jnp.exp(val - new_m[:, None]), axis=1
+            )
+            new_ms.append(new_m)
+            new_ss.append(new_s)
+        return jnp.stack(new_ms), jnp.stack(new_ss)
+
+    m0 = jnp.full((groups, block_rows), NEG_INF, jnp.float32)
+    s0 = jnp.zeros((groups, block_rows), jnp.float32)
+    m, s = jax.lax.fori_loop(0, num_blocks, body, (m0, s0))
+    o_ref[0, :, :] = m + jnp.log(s)
+
+
+def streaming_lse_multi(eps: Array, x: Array, y: Array, fs: Array) -> Array:
+    """out[g, i] = logsumexp_j(fs[g, j] − ||x_i−y_j||²/(2ε)), batched.
+
+    eps: (B,); x: (B, N, d); y: (B, M, d); fs: (B, G, M) → (B, G, N).
+    """
+    b, n, d = x.shape
+    g, m = fs.shape[1], fs.shape[2]
+    block_rows, block_cols, n_pad, m_pad = _blocks(n, m)
+    xp = _pad_axis1(x, n_pad)
+    yp = _pad_axis1(y, m_pad)
+    fp = jnp.pad(fs, ((0, 0), (0, 0), (0, m_pad - m)),
+                 constant_values=NEG_INF)
+    eps2d = eps.reshape(b, 1).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        partial(_lse_kernel, block_cols=block_cols, n_cols=m_pad, dim=d,
+                groups=g),
+        grid=(b, n_pad // block_rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_rows, d), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, d), lambda bi, ri: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, m_pad), lambda bi, ri: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, block_rows), lambda bi, ri: (bi, 0, ri),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, g, n_pad), jnp.float32),
+        interpret=_INTERPRET,
+    )(eps2d, xp, yp, fp)
+    return out[:, :, :n]
+
+
+def streaming_lse(eps: Array, x: Array, y: Array, f: Array) -> Array:
+    """Single-potential wrapper: (B, M) → (B, N)."""
+    return streaming_lse_multi(eps, x, y, f[:, None, :])[:, 0]
+
+
+def streaming_softmin(eps, x, y, f) -> Array:
+    """−ε·logsumexp(f − C/ε): the Sinkhorn softmin (`resamplers.py:94-110`)."""
+    return -eps[:, None] * streaming_lse(eps, x, y, f)
+
+
+def streaming_softmin_multi(eps, x, y, fs) -> Array:
+    """Fused G-potential softmin: fs (B, G, M) → (B, G, N)."""
+    return -eps[:, None, None] * streaming_lse_multi(eps, x, y, fs)
+
+
+# ---------------------------------------------------------------------------
+# streaming transport apply (with custom VJP)
+# ---------------------------------------------------------------------------
+
+
+def _apply_kernel(
+    eps_ref, x_ref, y_ref, v_ref, r_ref, c_ref, o_ref,
+    *, block_cols, n_cols, dim, vdim,
+):
+    """out_i = Σ_j exp(r_i + c_j − C_ij/ε) · v_j.
+
+    x_ref: (1, BR, d) row positions; y_ref: (1, M, d) column positions;
+    v_ref: (1, M, vd) column values; r_ref: (1, 1, BR); c_ref: (1, 1, M).
+    """
+    eps = eps_ref[pl.program_id(0), 0]
+    block_rows = x_ref.shape[1]
+    num_blocks = n_cols // block_cols
+    r = r_ref[0, 0, :][:, None]                                # (BR, 1)
+
+    def body(j, acc):
+        yb = y_ref[0, pl.ds(j * block_cols, block_cols), :]
+        vb = v_ref[0, pl.ds(j * block_cols, block_cols), :]
+        cb = c_ref[0, 0, pl.ds(j * block_cols, block_cols)]
+        dist2 = jnp.zeros((block_rows, block_cols), jnp.float32)
+        for k in range(dim):
+            diff = x_ref[0, :, k][:, None] - yb[:, k][None, :]
+            dist2 = dist2 + diff * diff
+        t = jnp.exp(r + cb[None, :] - 0.5 * dist2 / eps)        # (BR, BC)
+        return acc + jax.lax.dot_general(
+            t, vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc0 = jnp.zeros((block_rows, vdim), jnp.float32)
+    o_ref[0, :, :] = jax.lax.fori_loop(0, num_blocks, body, acc0)
+
+
+def _apply_impl(eps, x_rows, y_cols, values, r, c) -> Array:
+    b, n, d = x_rows.shape
+    m, vd = values.shape[1], values.shape[2]
+    block_rows, block_cols, n_pad, m_pad = _blocks(n, m)
+    out = pl.pallas_call(
+        partial(_apply_kernel, block_cols=block_cols, n_cols=m_pad, dim=d,
+                vdim=vd),
+        grid=(b, n_pad // block_rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_rows, d), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, d), lambda bi, ri: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, vd), lambda bi, ri: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_rows), lambda bi, ri: (bi, 0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m_pad), lambda bi, ri: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, vd), lambda bi, ri: (bi, ri, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, vd), jnp.float32),
+        interpret=_INTERPRET,
+    )(
+        eps.reshape(b, 1).astype(jnp.float32),
+        _pad_axis1(x_rows, n_pad),
+        _pad_axis1(y_cols, m_pad),
+        _pad_axis1(values, m_pad),
+        _pad_axis1(r, n_pad, NEG_INF)[:, None, :],
+        _pad_axis1(c, m_pad, NEG_INF)[:, None, :],
+    )
+    return out[:, :n, :]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def streaming_transport_apply(values, eps, scaled_x, r, c):
+    """out = T @ values with implicit T_ij = exp(r_i + c_j − C_ij(x̂)/ε).
+
+    Differentiable in ``values`` only (grad = Tᵀ @ g, streamed); all other
+    inputs are treated as constants — the reference's exact gradient
+    topology (`resamplers.py:234-245,256`).
+    """
+    return _apply_impl(eps, scaled_x, scaled_x, values, r, c)
+
+
+def _sta_fwd(values, eps, scaled_x, r, c):
+    out = _apply_impl(eps, scaled_x, scaled_x, values, r, c)
+    return out, (eps, scaled_x, r, c)
+
+
+def _sta_bwd(res, g):
+    eps, scaled_x, r, c = res
+    # (Tᵀ g)_j = Σ_i exp(c_j + r_i − C_ij/ε) g_i  — same kernel, roles swapped
+    grad_values = _apply_impl(eps, scaled_x, scaled_x, g, c, r)
+    return grad_values, None, None, None, None
+
+
+streaming_transport_apply.defvjp(_sta_fwd, _sta_bwd)
+
+
+# ---------------------------------------------------------------------------
+# full resampler
+# ---------------------------------------------------------------------------
+
+
+def ot_resample_pallas(
+    particles: Array,
+    probs: Array,
+    eps: float = 0.1,
+    scaling: float = 0.75,
+    threshold: float = 1e-3,
+    max_iter: int = 100,
+    convergence: str = "all",
+) -> Tuple[Array, Array, Array]:
+    """ε-annealed OT resampling with streaming kernels.
+
+    Semantics of ``ops.sinkhorn.ot_resample(transport_grad=False)``: the
+    transport plan is fully detached; gradient reaches the particles only
+    through the value operand of T@x (custom VJP above).
+    """
+    from nfdpf_tpu.ops.sinkhorn import diameter, max_min
+
+    sg = jax.lax.stop_gradient
+    b, n, d = particles.shape
+    logw = jnp.log(probs)
+
+    x_sg = sg(particles)
+    logw_sg = sg(logw)
+    centered = x_sg - jnp.mean(x_sg, axis=1, keepdims=True)
+    diam = diameter(x_sg, x_sg)
+    scaled_x = centered / (diam[:, None, None] * math.sqrt(d))
+    uniform_logw = jnp.full_like(logw_sg, -math.log(n))
+
+    eps_target = jnp.asarray(eps, jnp.float32)
+    eps0 = (max_min(scaled_x, scaled_x) ** 2).astype(jnp.float32)
+    scaling_factor = scaling**2
+
+    sm = lambda e, fvec: streaming_softmin(e, scaled_x, scaled_x, fvec)  # noqa: E731
+    sm4 = lambda e, fvecs: streaming_softmin_multi(  # noqa: E731
+        e, scaled_x, scaled_x, fvecs
+    )
+
+    init = sm4(eps0, jnp.stack([logw_sg, uniform_logw], axis=1))
+    a_y, b_x = init[:, 0], init[:, 1]
+    a_x, b_y = a_y, b_x
+
+    def cond_fn(state):
+        i, _, _, _, _, running, _ = state
+        it_ok = i < max_iter - 1
+        agg = jnp.all(running) if convergence == "all" else jnp.any(running)
+        return jnp.logical_and(it_ok, agg)
+
+    def body_fn(state):
+        i, a_y, b_x, a_x, b_y, running, eps_run = state
+        eps_col = eps_run[:, None]
+        run = running[:, None]
+        # one fused kernel for all four softmins (shared cost blocks)
+        outs = sm4(eps_run, jnp.stack([
+            logw_sg + b_x / eps_col,
+            uniform_logw + a_y / eps_col,
+            logw_sg + a_x / eps_col,
+            uniform_logw + b_y / eps_col,
+        ], axis=1))
+        at_y = jnp.where(run, outs[:, 0], a_y)
+        bt_x = jnp.where(run, outs[:, 1], b_x)
+        at_x = jnp.where(run, outs[:, 2], a_x)
+        bt_y = jnp.where(run, outs[:, 3], b_y)
+        a_y_new, b_x_new = (a_y + at_y) / 2, (b_x + bt_x) / 2
+        a_x_new, b_y_new = (a_x + at_x) / 2, (b_y + bt_y) / 2
+        a_diff = jnp.max(jnp.abs(a_y_new - a_y), axis=1)
+        b_diff = jnp.max(jnp.abs(b_x_new - b_x), axis=1)
+        local = jnp.logical_or(a_diff > threshold, b_diff > threshold)
+        new_eps = jnp.maximum(eps_run * scaling_factor, eps_target)
+        glob = jnp.logical_or(new_eps < eps_run, local)
+        return i + 1, a_y_new, b_x_new, a_x_new, b_y_new, glob, new_eps
+
+    state0 = (jnp.asarray(0), a_y, b_x, a_x, b_y,
+              jnp.ones((b,), bool), eps0)
+    _, a_y, b_x, a_x, b_y, _, _ = jax.lax.while_loop(cond_fn, body_fn, state0)
+
+    eps_b = jnp.broadcast_to(eps_target, (b,))
+    finals = sm4(eps_b, jnp.stack([
+        logw_sg + b_x / eps_b[:, None],
+        uniform_logw + a_y / eps_b[:, None],
+    ], axis=1))
+    final_f, final_g = finals[:, 0], finals[:, 1]   # final a_y, b_x
+
+    # transport weights in log space (`resamplers.py:194-210`):
+    # T_ij = exp((f_i + g_j − C_ij)/ε − colnorm_j + log n + logw_j)
+    # colnorm_j = logsumexp_i((f_i + g_j − C_ij)/ε)
+    #           = g_j/ε + logsumexp_i(f_i/ε − C_ij/ε)    [C symmetric]
+    lse_col = streaming_lse(eps_b, scaled_x, scaled_x, final_f / eps_b[:, None])
+    colnorm = final_g / eps_b[:, None] + lse_col
+    r = final_f / eps_b[:, None]                                 # row term
+    c = (final_g / eps_b[:, None] - colnorm + math.log(n) + logw_sg)
+
+    # apply to RAW particle values (reference applies T to raw particles,
+    # `resamplers.py:256`); cost geometry stays in scaled coordinates.
+    transported = streaming_transport_apply(particles, eps_b, scaled_x, r, c)
+    uniform = jnp.full_like(probs, 1.0 / n)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
+    return transported, uniform, idx

@@ -153,7 +153,9 @@ class Trainer:
     def make_train_step(self):
         tx = self.tx
 
-        @jax.jit
+        # donate the state: params/opt-state buffers are consumed in place,
+        # halving peak HBM for the update (callers chain states anyway).
+        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, key):
             (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
                 state.params, state.rest, batch, key, True

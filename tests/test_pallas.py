@@ -1,0 +1,123 @@
+"""Pallas streaming-Sinkhorn kernels vs the dense reference path.
+
+Runs in interpreter mode on CPU (the kernels compile for real on TPU; the
+math is identical either way)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nfdpf_tpu.ops.pallas.sinkhorn_pallas as sp
+from nfdpf_tpu.ops.sinkhorn import (
+    cost,
+    ot_resample,
+    softmin,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setattr(sp, "_INTERPRET", True)
+
+
+def _cloud(key, b=2, n=40, d=2):
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (b, n, d)) * 3.0
+    probs = jax.nn.softmax(jax.random.normal(k2, (b, n)))
+    return x, probs
+
+
+def test_streaming_softmin_matches_dense():
+    x, probs = _cloud(jax.random.PRNGKey(0))
+    f = jnp.log(probs)
+    eps = jnp.full((2,), 0.37)
+    dense = softmin(eps, cost(x, x), f)
+    streamed = sp.streaming_softmin(eps, x, x, f)
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_softmin_nondivisible_sizes():
+    """Padding path: N=37 not a multiple of any block size."""
+    x, probs = _cloud(jax.random.PRNGKey(1), b=3, n=37)
+    f = jnp.log(probs)
+    eps = jnp.full((3,), 1.3)
+    dense = softmin(eps, cost(x, x), f)
+    streamed = sp.streaming_softmin(eps, x, x, f)
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_transport_apply_matches_dense():
+    x, probs = _cloud(jax.random.PRNGKey(2), b=2, n=24)
+    eps = jnp.full((2,), 0.5)
+    f = jax.random.normal(jax.random.PRNGKey(3), (2, 24)) * 0.1
+    c_weights = jax.random.normal(jax.random.PRNGKey(4), (2, 24)) * 0.1
+    v = jax.random.normal(jax.random.PRNGKey(5), (2, 24, 2))
+
+    # dense T_ij = exp(r_i + c_j − C_ij/ε)
+    cmat = cost(x, x)
+    t = jnp.exp(f[:, :, None] + c_weights[:, None, :]
+                - cmat / eps[:, None, None])
+    dense = jnp.einsum("bij,bjd->bid", t, v)
+    streamed = sp.streaming_transport_apply(v, eps, x, f, c_weights)
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(dense),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_transport_apply_vjp():
+    """Backward must be Tᵀ @ g and zero for non-value inputs."""
+    x, probs = _cloud(jax.random.PRNGKey(6), b=1, n=16)
+    eps = jnp.full((1,), 0.8)
+    f = jax.random.normal(jax.random.PRNGKey(7), (1, 16)) * 0.1
+    cw = jax.random.normal(jax.random.PRNGKey(8), (1, 16)) * 0.1
+    v = jax.random.normal(jax.random.PRNGKey(9), (1, 16, 2))
+
+    def loss(values):
+        return jnp.sum(sp.streaming_transport_apply(values, eps, x, f, cw) ** 2)
+
+    g_auto = jax.grad(loss)(v)
+    # dense check
+    cmat = cost(x, x)
+    t = jnp.exp(f[:, :, None] + cw[:, None, :] - cmat / eps[:, None, None])
+    out = jnp.einsum("bij,bjd->bid", t, v)
+    g_dense = 2 * jnp.einsum("bij,bid->bjd", t, out)
+    np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_dense),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ot_resample_pallas_matches_dense():
+    x, probs = _cloud(jax.random.PRNGKey(10), b=2, n=32)
+    p_dense, w_dense, _ = ot_resample(
+        x, probs, eps=0.1, scaling=0.9, threshold=1e-4, max_iter=200,
+        convergence="any",
+    )
+    p_pallas, w_pallas, idx = sp.ot_resample_pallas(
+        x, probs, eps=0.1, scaling=0.9, threshold=1e-4, max_iter=200,
+        convergence="any",
+    )
+    np.testing.assert_allclose(np.asarray(p_pallas), np.asarray(p_dense),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(w_pallas), np.asarray(w_dense))
+    assert np.array_equal(np.asarray(idx[0]), np.arange(32))
+
+
+def test_ot_resample_pallas_gradient_topology():
+    x, probs = _cloud(jax.random.PRNGKey(11), b=1, n=16)
+
+    def loss_p(p):
+        out, _, _ = sp.ot_resample_pallas(p, probs, max_iter=10)
+        return jnp.sum(out**2)
+
+    def loss_w(w):
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        out, _, _ = sp.ot_resample_pallas(x, w, max_iter=10)
+        return jnp.sum(out**2)
+
+    g_p = jax.grad(loss_p)(x)
+    g_w = jax.grad(loss_w)(probs)
+    assert float(jnp.sum(jnp.abs(g_p))) > 0
+    np.testing.assert_allclose(np.asarray(g_w), 0.0, atol=1e-7)
