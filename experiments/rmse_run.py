@@ -1,0 +1,130 @@
+"""Tracking-RMSE experiment on the real disk dataset.
+
+Trains a configurable DPF on a generated disk-tracking dataset and records
+eval RMSE per epoch (the BASELINE.md quality metric).  TPU-first data path:
+the whole train/val set is staged on device once as uint8 (~1 GB for 500
+sequences) so epochs never pay host→device transfer — batches are
+device-side gathers.
+
+    python experiments/rmse_run.py --epochs 60 --config bootstrap
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+CONFIGS = {
+    "bootstrap": dict(measurement="cos", resampler_type="ot"),
+    "soft": dict(measurement="cos", resampler_type="soft"),
+    "cnf": dict(measurement="cos", resampler_type="ot", nf_dyn=True,
+                nf_cond=True),
+    "crnvp": dict(measurement="CRNVP", resampler_type="ot"),
+    "cglow": dict(measurement="CGLOW", resampler_type="soft", nf_dyn=True),
+}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="bootstrap", choices=sorted(CONFIGS))
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--sequences", type=int, default=400)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--particles", type=int, default=100)
+    p.add_argument("--data-dir", default="/tmp/nfdpf_disk_data")
+    p.add_argument("--out", default="experiments/rmse_results.json")
+    p.add_argument("--init-true", action="store_true",
+                   help="init particles at the true start state")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nfdpf_tpu.config import DPFConfig
+    from nfdpf_tpu.data.dataset import DiskDataset
+    from nfdpf_tpu.data.simulator import generate_dataset
+    from nfdpf_tpu.train import Trainer
+
+    total = int(np.ceil(args.sequences / 0.8))
+    probe = os.path.join(args.data_dir, "toy_pn=2.0_d=25_const0_train.npz")
+    if not os.path.exists(probe):
+        print(f"generating {total} sequences ...", flush=True)
+        t0 = time.time()
+        generate_dataset(args.data_dir, num_examples=args.sequences,
+                         file_size=total, num_distractors=25, pos_noise=2.0,
+                         sequence_length=50, seed=0)
+        print(f"generated in {time.time()-t0:.0f}s", flush=True)
+
+    train_ds = DiskDataset(args.data_dir, "toy_pn=2.0_d=25_const", "train_data")
+    val_ds = DiskDataset(args.data_dir, "toy_pn=2.0_d=25_const", "val_data")
+    print(f"train {len(train_ds)}, val {len(val_ds)}", flush=True)
+
+    # stage everything on device once (uint8 images)
+    def stage(ds):
+        return {
+            "image": jnp.asarray(ds.data["image"]),
+            "state": jnp.asarray(ds.data["state"]),
+            "start_state": jnp.asarray(ds.data["start_state"]),
+        }
+
+    train_dev = stage(train_ds)
+    val_dev = stage(val_ds)
+    print("staged on device:",
+          train_dev["image"].nbytes / 1e6, "MB train images", flush=True)
+
+    cfg = DPFConfig(
+        num_particles=args.particles, sequence_length=50,
+        batch_size=args.batch, init_with_true_state=args.init_true,
+        **CONFIGS[args.config],
+    )
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
+    train_step = trainer.make_train_step()
+    eval_step = trainer.make_eval_step()
+
+    n_train = len(train_ds)
+    key = jax.random.PRNGKey(1)
+    rng = np.random.default_rng(0)
+    history = []
+    t_start = time.time()
+    for epoch in range(args.epochs):
+        order = rng.permutation(n_train)
+        for lo in range(0, n_train - args.batch + 1, args.batch):
+            idx = jnp.asarray(order[lo:lo + args.batch])
+            batch = {k: v[idx] for k, v in train_dev.items()}
+            key, sub = jax.random.split(key)
+            state, m = train_step(state, batch, sub)
+        # eval on the full val set in chunks of 50
+        evals = []
+        n_val = val_dev["image"].shape[0]
+        for lo in range(0, n_val - 49, 50):
+            vbatch = {k: v[lo:lo + 50] for k, v in val_dev.items()}
+            key, sub = jax.random.split(key)
+            em, _ = eval_step(state, vbatch, sub)
+            evals.append(float(em["loss_sup"]))
+        rmse = float(np.mean(evals))
+        history.append(rmse)
+        print(f"epoch {epoch}: train_loss={float(m['loss']):.3f} "
+              f"val_RMSE={rmse:.3f}px  [{time.time()-t_start:.0f}s]",
+              flush=True)
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({"config": args.config, "epochs": epoch + 1,
+                       "particles": args.particles,
+                       "init_with_true_state": args.init_true,
+                       "val_rmse_per_epoch": history,
+                       "best_val_rmse": min(history),
+                       "wall_seconds": time.time() - t_start}, f, indent=2)
+
+    print(f"best val RMSE: {min(history):.3f}px")
+
+
+if __name__ == "__main__":
+    main()

@@ -67,7 +67,13 @@ def render_frame(
 ) -> Tuple[Array, Array]:
     """Rasterise one frame by scanning disks in z-order (red first).
 
-    Returns (image [H, W, 3] float32 in [0,1], visible red-pixel count).
+    Returns (image [H, W, 3] uint8 in 0..255, visible red-pixel count).
+
+    Storage/transfer deviation from the reference (which stores float32 in
+    [0, 1], `create_dataset.py:193`): images are kept uint8 end-to-end and
+    divided by 255 on DEVICE (`train.py`), which is lossless (disk colors
+    are exact multiples of 255) and cuts host→device bandwidth 4×.  The
+    dataset loader still accepts reference-generated float32 shards.
     """
     half = im_size // 2
     rows = jnp.arange(im_size, dtype=jnp.float32)[:, None]
@@ -97,7 +103,7 @@ def render_frame(
         & (canvas[..., 2] == 0.0)
     )
     vis = jnp.sum(red_mask.astype(jnp.int32))
-    return canvas.astype(jnp.float32) / 255.0, vis
+    return canvas.astype(jnp.uint8), vis
 
 
 @dataclass(frozen=True)
@@ -157,9 +163,23 @@ class DiskSimulator:
             "visible": vis,
         }
 
-    def generate_batch(self, key: jax.Array, num: int) -> Dict[str, Array]:
-        keys = jax.random.split(key, num)
-        return jax.jit(jax.vmap(self.generate_sequence))(keys)
+    def generate_batch(self, key: jax.Array, num: int,
+                       chunk: int = 32) -> Dict[str, Array]:
+        """Generate ``num`` sequences, vmapped in fixed-size chunks so one
+        compiled executable is reused (a single num-wide vmap makes XLA
+        compile minutes-long programs for num in the hundreds)."""
+        gen = jax.jit(jax.vmap(self.generate_sequence))
+        outs = []
+        remaining = num
+        while remaining > 0:
+            take = min(chunk, remaining)
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, chunk)      # fixed width → one jit
+            data = jax.device_get(gen(keys))
+            outs.append({k: np.asarray(v)[:take] for k, v in data.items()})
+            remaining -= take
+        return {k: np.concatenate([o[k] for o in outs], axis=0)
+                for k in outs[0]}
 
 
 def generate_dataset(

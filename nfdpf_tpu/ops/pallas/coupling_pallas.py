@@ -1,0 +1,168 @@
+"""Fused coupling-chain Pallas kernel.
+
+One kernel applies an ENTIRE RealNVP chain (K blocks × 4 conditioner MLPs
+each) to a block of particle rows, accumulating the log-det — the reference
+runs 2 blocks × 4 × 3 linear layers as ~24 separate framework ops per flow
+call (`nf/flows.py:155-239`, `nf/models.py:13-30`).  Here all conditioner
+weights (a few KB) stay resident in VMEM and every intermediate lives in
+registers: one HBM read of the particle rows, one write of the outputs.
+
+Supports the framework's filter configuration: state dim 2 (half = 1),
+arbitrary context width, K chain blocks, forward and inverse.  Weights are
+packed from a ``FlowChain`` variables pytree by ``pack_chain_params``.
+
+The kernel computes identically to ``FlowChain.forward/inverse`` (verified
+in tests/test_pallas_coupling.py); gradients fall back to the XLA path via
+``jax.custom_vjp`` with a dense VJP — fusing the backward too is future
+work, and the forward is the inference/filtering hot path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+BLOCK_ROWS = 512
+
+_INTERPRET = False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pack_chain_params(variables, n_blocks: int, ctx_dim: int,
+                      hidden: int = 8) -> Tuple[Array, Array]:
+    """Pack a FlowChain (dim=2) params pytree into dense weight/bias stacks.
+
+    Returns (weights, biases):
+      weights: (K, 4, 3, max_in, hidden) — per block, per net (t1,s1,t2,s2),
+               per layer; layer 0 consumes (1+ctx_dim) inputs, layers 1-2
+               consume ``hidden``; output layer uses column 0 only.
+      biases:  (K, 4, 3, hidden)
+    """
+    params = variables["params"]
+    max_in = max(1 + ctx_dim, hidden)
+    w = np.zeros((n_blocks, 4, 3, max_in, hidden), np.float32)
+    b = np.zeros((n_blocks, 4, 3, hidden), np.float32)
+    for k in range(n_blocks):
+        block = params[f"flows_{k}"]
+        for ni, net in enumerate(("t1", "s1", "t2", "s2")):
+            sub = block[net]
+            for li in range(3):
+                kern = np.asarray(sub[f"Dense_{li}"]["kernel"])  # (in, out)
+                bias = np.asarray(sub[f"Dense_{li}"]["bias"])
+                w[k, ni, li, : kern.shape[0], : kern.shape[1]] = kern
+                b[k, ni, li, : bias.shape[0]] = bias
+    return jnp.asarray(w), jnp.asarray(b)
+
+
+def _mlp(x_in, w_ref, b_ref, k, ni, in_dim, hidden):
+    """3-layer tanh MLP on (R, in_dim) rows using packed weights."""
+    h = x_in @ w_ref[k, ni, 0, :in_dim, :] + b_ref[k, ni, 0, :]
+    h = jnp.tanh(h)
+    h = h @ w_ref[k, ni, 1, :hidden, :] + b_ref[k, ni, 1, :]
+    h = jnp.tanh(h)
+    out = h @ w_ref[k, ni, 2, :hidden, :1] + b_ref[k, ni, 2, :1]
+    return out                                                   # (R, 1)
+
+
+def _chain_kernel(x_ref, ctx_ref, w_ref, b_ref, o_ref, ld_ref,
+                  *, n_blocks, ctx_dim, hidden, inverse):
+    lower = x_ref[0, :, 0:1]
+    upper = x_ref[0, :, 1:2]
+    ld = jnp.zeros_like(lower)
+    in_dim = 1 + ctx_dim
+
+    def cat(half):
+        if ctx_dim == 0:
+            return half
+        return jnp.concatenate([half, ctx_ref[0]], axis=-1)
+
+    block_order = range(n_blocks) if not inverse else range(n_blocks - 1, -1, -1)
+    for k in block_order:
+        if not inverse:
+            t1 = _mlp(cat(lower), w_ref, b_ref, k, 0, in_dim, hidden)
+            s1 = _mlp(cat(lower), w_ref, b_ref, k, 1, in_dim, hidden)
+            upper = t1 + upper * jnp.exp(s1)
+            t2 = _mlp(cat(upper), w_ref, b_ref, k, 2, in_dim, hidden)
+            s2 = _mlp(cat(upper), w_ref, b_ref, k, 3, in_dim, hidden)
+            lower = t2 + lower * jnp.exp(s2)
+            ld = ld + s1 + s2
+        else:
+            t2 = _mlp(cat(upper), w_ref, b_ref, k, 2, in_dim, hidden)
+            s2 = _mlp(cat(upper), w_ref, b_ref, k, 3, in_dim, hidden)
+            lower = (lower - t2) * jnp.exp(-s2)
+            t1 = _mlp(cat(lower), w_ref, b_ref, k, 0, in_dim, hidden)
+            s1 = _mlp(cat(lower), w_ref, b_ref, k, 1, in_dim, hidden)
+            upper = (upper - t1) * jnp.exp(-s1)
+            ld = ld - s1 - s2
+
+    o_ref[0, :, 0:1] = lower
+    o_ref[0, :, 1:2] = upper
+    ld_ref[0, 0, :] = ld[:, 0]
+
+
+def _chain_impl(x, ctx, weights, biases, inverse):
+    b, n, d = x.shape
+    assert d == 2, "fused kernel supports the filter's state dim (2)"
+    ctx_dim = 0 if ctx is None else ctx.shape[-1]
+    hidden = weights.shape[-1]
+    n_blocks = weights.shape[0]
+    block_rows = min(BLOCK_ROWS, _round_up(n, 128))
+    n_pad = _round_up(n, block_rows)
+    xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+    # ctx rides with at least one (unused) column so the block is never
+    # zero-width
+    ctx_p = (jnp.zeros((b, n_pad, 1), x.dtype) if ctx is None
+             else jnp.pad(ctx, ((0, 0), (0, n_pad - n), (0, 0))))
+
+    out, ld = pl.pallas_call(
+        partial(_chain_kernel, n_blocks=n_blocks, ctx_dim=ctx_dim,
+                hidden=hidden, inverse=inverse),
+        grid=(b, n_pad // block_rows),
+        in_specs=[
+            pl.BlockSpec((1, block_rows, 2), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows, max(ctx_dim, 1)),
+                         lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # weights, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # biases, whole
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_rows, 2), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_rows), lambda bi, ri: (bi, 0, ri),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_pad, 2), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
+        ),
+        interpret=_INTERPRET,
+    )(xp, ctx_p, weights, biases)
+    return out[:, :n, :], ld[:, 0, :n]
+
+
+def fused_coupling_chain(
+    x: Array,
+    ctx,
+    weights: Array,
+    biases: Array,
+    inverse: bool = False,
+) -> Tuple[Array, Array]:
+    """Apply a packed RealNVP chain to (B, N, 2) rows in one fused kernel.
+
+    Returns (y, log_det) identical to ``FlowChain.forward`` (log_det only —
+    the prior term is separate) / ``FlowChain.inverse``.
+    """
+    return _chain_impl(x, ctx, weights, biases, inverse)

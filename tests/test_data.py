@@ -37,7 +37,7 @@ def test_render_frame_red_disk_and_occlusion():
     d_radii = jnp.array([5.0])
     d_colors = jnp.array([[0.0, 255.0, 0.0]])
     im, vis = render_frame(state, d_states, d_radii, d_colors)
-    im = np.asarray(im)
+    im = np.asarray(im).astype(np.float32) / 255.0
     assert im.shape == (128, 128, 3)
     # center pixel is green (distractor occludes red, painted after)
     np.testing.assert_allclose(im[64, 64], [0.0, 1.0, 0.0])
@@ -77,7 +77,8 @@ def test_render_matches_cv2():
             jnp.asarray(state), jnp.asarray(d_state), jnp.asarray(d_radii),
             jnp.asarray(cols_pal)
         )
-        mismatch = np.mean(np.any(np.asarray(im_jax) != im_ref, axis=-1))
+        im_jax = np.asarray(im_jax).astype(np.float32) / 255.0
+        mismatch = np.mean(np.any(im_jax != im_ref, axis=-1))
         assert mismatch < 0.01, f"trial {trial}: {mismatch:.4f} pixels differ"
 
 

@@ -39,19 +39,21 @@ def test_train_step_updates_params_and_batchstats():
     state = trainer.init_state(jax.random.PRNGKey(0))
     batch = _tiny_batch(jax.random.PRNGKey(1), cfg)
     step = trainer.make_train_step()
+    # the step donates its input state — snapshot before calling
+    before = jax.device_get({"params": state.params, "rest": state.rest})
     new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
     assert bool(jnp.isfinite(metrics["loss"]))
     # params changed (check subtrees that receive gradient with NF off:
     # cond_model/nf_dyn correctly stay frozen in this config)
     for sub in ("encoder", "decoder", "measurement"):
-        p0 = jax.tree_util.tree_leaves(state.params[sub])
+        p0 = jax.tree_util.tree_leaves(before["params"][sub])
         p1 = jax.tree_util.tree_leaves(new_state.params[sub])
         assert any(
             not np.allclose(np.asarray(a), np.asarray(b))
             for a, b in zip(p0, p1)
         ), f"{sub} params did not update"
     # encoder batch stats changed
-    b0 = jax.tree_util.tree_leaves(state.rest["encoder"]["batch_stats"])[0]
+    b0 = jax.tree_util.tree_leaves(before["rest"]["encoder"]["batch_stats"])[0]
     b1 = jax.tree_util.tree_leaves(new_state.rest["encoder"]["batch_stats"])[0]
     assert not np.allclose(np.asarray(b0), np.asarray(b1))
 
