@@ -12,10 +12,15 @@ device-side gathers.
 from __future__ import annotations
 
 import argparse
+import faulthandler
 import json
+import logging
 import os
 import sys
 import time
+
+faulthandler.dump_traceback_later(300, repeat=True, file=sys.stderr)
+logging.basicConfig(level=logging.INFO)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 

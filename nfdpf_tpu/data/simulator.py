@@ -32,17 +32,20 @@ Array = jax.Array
 
 SPRING_FORCE = 0.1
 DRAG_FORCE = 0.0075
-RED = jnp.array([255.0, 0.0, 0.0])
+# NOTE: constants stay numpy (host) — device-resident jnp constants get
+# fetched back during MLIR lowering to be embedded, which over a remote-chip
+# tunnel can stall compilation for minutes per constant.
+RED = np.array([255.0, 0.0, 0.0], np.float32)
 # distractor palette (`create_dataset.py:22-23`) — RGB (the reference stores
 # BGR-ish tuples straight into an RGB-interpreted array; we mirror values).
-DISTRACTOR_COLORS = jnp.array([
+DISTRACTOR_COLORS = np.array([
     [0.0, 255.0, 0.0],
     [0.0, 0.0, 255.0],
     [0.0, 255.0, 255.0],
     [255.0, 0.0, 255.0],
     [255.0, 255.0, 0.0],
     [255.0, 255.0, 255.0],
-])
+], np.float32)
 
 
 def process_model(state: Array, noise: Array) -> Array:
@@ -168,9 +171,14 @@ class DiskSimulator:
         """Generate ``num`` sequences, vmapped in fixed-size chunks so one
         compiled executable is reused (a single num-wide vmap makes XLA
         compile minutes-long programs for num in the hundreds)."""
+        import logging
+        import time
+
+        log = logging.getLogger("nfdpf.simulator")
         gen = jax.jit(jax.vmap(self.generate_sequence))
         outs = []
         remaining = num
+        t0 = time.time()
         while remaining > 0:
             take = min(chunk, remaining)
             key, sub = jax.random.split(key)
@@ -178,6 +186,8 @@ class DiskSimulator:
             data = jax.device_get(gen(keys))
             outs.append({k: np.asarray(v)[:take] for k, v in data.items()})
             remaining -= take
+            log.info("generated %d/%d sequences [%.0fs]",
+                     num - remaining, num, time.time() - t0)
         return {k: np.concatenate([o[k] for o in outs], axis=0)
                 for k in outs[0]}
 

@@ -232,6 +232,25 @@ class DPF:
 
         measure_fn = self._measure_fn(variables)
 
+        # optional fused Pallas coupling path: pack the chain weights ONCE
+        # outside the scan (loop-invariant; gradients flow back through the
+        # pack).  state_dim 2 is the kernel's supported configuration.
+        fused_dyn = fused_cond = None
+        if cfg.use_pallas and cfg.state_dim == 2:
+            from nfdpf_tpu.ops.pallas.coupling_pallas import pack_chain_params
+
+            if cfg.nf_dyn:
+                fused_dyn = pack_chain_params(
+                    variables["nf_dyn"], cfg.n_sequence, 2 * cfg.state_dim,
+                    cfg.flow_hidden_dim,
+                )
+            if cfg.nf_cond:
+                fused_cond = pack_chain_params(
+                    variables["cond_model"], cfg.n_sequence,
+                    2 * cfg.state_dim + self.enc_features,
+                    cfg.flow_hidden_dim,
+                )
+
         def step(carry, xs):
             particles, probs, vel, obs_lik, key = carry
             enc_t, vel_t = xs
@@ -258,7 +277,7 @@ class DPF:
 
             particles_dyn, jac = nf_dynamic_model(
                 self.nf_dyn, variables["nf_dyn"], particles_phys,
-                use_nf=cfg.nf_dyn,
+                use_nf=cfg.nf_dyn, fused=fused_dyn,
             )
 
             propose, lki_log, prior_log, propose_log = proposal_likelihood(
@@ -267,6 +286,7 @@ class DPF:
                 measure_fn,
                 particles_dyn, particles_phys, enc_t, noise, jac,
                 cfg.nf_dyn, cfg.nf_cond, cfg.pos_noise, cfg.vel_noise,
+                fused_dyn=fused_dyn, fused_cond=fused_cond,
             )
 
             log_w = log_probs_r + lki_log + prior_log - propose_log

@@ -68,17 +68,27 @@ def nf_dynamic_model(
     forward: bool = False,
     mean: Optional[Array] = None,
     std: Optional[Array] = None,
+    fused=None,
 ) -> Tuple[Array, Array]:
     """(Conditional-)flow refinement of physically propagated particles
     (`model/models.py:305-332`).
 
     ``forward=False`` (filter path) applies the INVERSE of the dynamics flow;
     ``forward=True`` is the consistency pass used when inverting proposals.
+    ``fused`` optionally carries packed (weights, biases) to route through
+    the fused Pallas coupling kernel (ops/pallas/coupling_pallas.py).
     Returns (particles', jac) with jac = −log_det, shape (B, N).
     """
     if not use_nf:
         return particles, jnp.zeros(particles.shape[:2])
     ctx = _stats_context(particles, mean, std)
+    if fused is not None:
+        from nfdpf_tpu.ops.pallas.coupling_pallas import fused_coupling_chain
+
+        out, log_det = fused_coupling_chain(
+            particles, ctx, fused[0], fused[1], not forward
+        )
+        return out, -log_det
     if forward:
         out, _, log_det = dyn_flow.apply(dyn_vars, particles, ctx,
                                          method=dyn_flow.forward)
@@ -93,6 +103,7 @@ def normalising_flow_propose(
     cond_vars,
     particles_pred: Array,
     obs_encoding: Array,
+    fused=None,
 ) -> Tuple[Array, Array]:
     """Conditional-NF proposal (`model/models.py:334-356`).
 
@@ -104,6 +115,13 @@ def normalising_flow_propose(
     obs = jnp.broadcast_to(obs_encoding[:, None, :],
                            (b, n, obs_encoding.shape[-1]))
     ctx = jnp.concatenate([obs, stats], axis=-1)
+    if fused is not None:
+        from nfdpf_tpu.ops.pallas.coupling_pallas import fused_coupling_chain
+
+        out, log_det = fused_coupling_chain(
+            particles_pred, ctx, fused[0], fused[1], True
+        )
+        return out, -log_det
     out, log_det = cond_flow.apply(cond_vars, particles_pred, ctx,
                                    method=cond_flow.inverse)
     return out, -log_det
@@ -124,6 +142,8 @@ def proposal_likelihood(
     use_nf_cond: bool,
     pos_noise: float,
     vel_noise: float,
+    fused_dyn=None,
+    fused_cond=None,
 ) -> Tuple[Array, Array, Array, Array]:
     """Central importance-weight bookkeeping (`model/models.py:358-379`).
 
@@ -137,14 +157,15 @@ def proposal_likelihood(
 
     if use_nf_cond:
         propose, jac_prop = normalising_flow_propose(
-            cond_flow, cond_vars, particles_dynamic, enc_detached
+            cond_flow, cond_vars, particles_dynamic, enc_detached,
+            fused=fused_cond,
         )
         if use_nf:
             phys_mean = jnp.mean(particles_physical, axis=1, keepdims=True)
             phys_std = jnp.std(particles_physical, axis=1, keepdims=True, ddof=1)
             prop_dyn_inv, jac_prop_dyn_inv = nf_dynamic_model(
                 dyn_flow, dyn_vars, propose, use_nf=True, forward=True,
-                mean=phys_mean, std=phys_std,
+                mean=phys_mean, std=phys_std, fused=fused_dyn,
             )
             prior_log = (
                 density(prop_dyn_inv - (particles_physical - noise))

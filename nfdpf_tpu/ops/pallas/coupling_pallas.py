@@ -51,18 +51,30 @@ def pack_chain_params(variables, n_blocks: int, ctx_dim: int,
     """
     params = variables["params"]
     max_in = max(1 + ctx_dim, hidden)
-    w = np.zeros((n_blocks, 4, 3, max_in, hidden), np.float32)
-    b = np.zeros((n_blocks, 4, 3, hidden), np.float32)
+
+    def padded(kern, bias):
+        # kern (in, out) → (max_in, hidden); bias (out,) → (hidden,)
+        kern = jnp.asarray(kern)
+        bias = jnp.asarray(bias)
+        kern = jnp.pad(kern, ((0, max_in - kern.shape[0]),
+                              (0, hidden - kern.shape[1])))
+        bias = jnp.pad(bias, (0, hidden - bias.shape[0]))
+        return kern, bias
+
+    w_rows, b_rows = [], []
     for k in range(n_blocks):
         block = params[f"flows_{k}"]
-        for ni, net in enumerate(("t1", "s1", "t2", "s2")):
+        w_nets, b_nets = [], []
+        for net in ("t1", "s1", "t2", "s2"):
             sub = block[net]
-            for li in range(3):
-                kern = np.asarray(sub[f"Dense_{li}"]["kernel"])  # (in, out)
-                bias = np.asarray(sub[f"Dense_{li}"]["bias"])
-                w[k, ni, li, : kern.shape[0], : kern.shape[1]] = kern
-                b[k, ni, li, : bias.shape[0]] = bias
-    return jnp.asarray(w), jnp.asarray(b)
+            ws, bs = zip(*(padded(sub[f"Dense_{li}"]["kernel"],
+                                  sub[f"Dense_{li}"]["bias"])
+                           for li in range(3)))
+            w_nets.append(jnp.stack(ws))
+            b_nets.append(jnp.stack(bs))
+        w_rows.append(jnp.stack(w_nets))
+        b_rows.append(jnp.stack(b_nets))
+    return jnp.stack(w_rows), jnp.stack(b_rows)
 
 
 def _mlp(x_in, w_ref, b_ref, k, ni, in_dim, hidden):
@@ -153,16 +165,77 @@ def _chain_impl(x, ctx, weights, biases, inverse):
     return out[:, :n, :], ld[:, 0, :n]
 
 
-def fused_coupling_chain(
-    x: Array,
-    ctx,
-    weights: Array,
-    biases: Array,
-    inverse: bool = False,
-) -> Tuple[Array, Array]:
+def chain_apply_packed_dense(x, ctx, weights, biases, inverse=False):
+    """Pure-jnp equivalent of the fused kernel on packed weights.
+
+    Used as the differentiation rule for ``fused_coupling_chain`` (and as a
+    cross-check in tests): the Pallas kernel computes the forward, autodiff
+    of this function supplies the exact VJP w.r.t. x, ctx, and weights.
+    """
+    hidden = weights.shape[-1]
+    n_blocks = weights.shape[0]
+    ctx_dim = 0 if ctx is None else ctx.shape[-1]
+    in_dim = 1 + ctx_dim
+    lower, upper = x[..., 0:1], x[..., 1:2]
+    ld = jnp.zeros(x.shape[:-1] + (1,))
+
+    def cat(half):
+        return half if ctx is None else jnp.concatenate([half, ctx], axis=-1)
+
+    def mlp(k, ni, h_in):
+        h = jnp.tanh(h_in @ weights[k, ni, 0, :in_dim, :] + biases[k, ni, 0])
+        h = jnp.tanh(h @ weights[k, ni, 1, :hidden, :] + biases[k, ni, 1])
+        return h @ weights[k, ni, 2, :hidden, :1] + biases[k, ni, 2, :1]
+
+    order = range(n_blocks) if not inverse else range(n_blocks - 1, -1, -1)
+    for k in order:
+        if not inverse:
+            t1, s1 = mlp(k, 0, cat(lower)), mlp(k, 1, cat(lower))
+            upper = t1 + upper * jnp.exp(s1)
+            t2, s2 = mlp(k, 2, cat(upper)), mlp(k, 3, cat(upper))
+            lower = t2 + lower * jnp.exp(s2)
+            ld = ld + s1 + s2
+        else:
+            t2, s2 = mlp(k, 2, cat(upper)), mlp(k, 3, cat(upper))
+            lower = (lower - t2) * jnp.exp(-s2)
+            t1, s1 = mlp(k, 0, cat(lower)), mlp(k, 1, cat(lower))
+            upper = (upper - t1) * jnp.exp(-s1)
+            ld = ld - s1 - s2
+    return jnp.concatenate([lower, upper], axis=-1), ld[..., 0]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_coupling_chain(x, ctx, weights, biases, inverse=False):
     """Apply a packed RealNVP chain to (B, N, 2) rows in one fused kernel.
 
     Returns (y, log_det) identical to ``FlowChain.forward`` (log_det only —
-    the prior term is separate) / ``FlowChain.inverse``.
+    the prior term is separate) / ``FlowChain.inverse``.  Fully
+    differentiable: the VJP runs through the dense equivalent.
     """
     return _chain_impl(x, ctx, weights, biases, inverse)
+
+
+def _fcc_fwd(x, ctx, weights, biases, inverse):
+    out = _chain_impl(x, ctx, weights, biases, inverse)
+    return out, (x, ctx, weights, biases)
+
+
+def _fcc_bwd(inverse, res, g):
+    x, ctx, weights, biases = res
+    if ctx is None:
+        _, vjp = jax.vjp(
+            lambda x_, w_, b_: chain_apply_packed_dense(x_, None, w_, b_,
+                                                        inverse),
+            x, weights, biases,
+        )
+        gx, gw, gb = vjp(g)
+        return gx, None, gw, gb
+    _, vjp = jax.vjp(
+        lambda x_, c_, w_, b_: chain_apply_packed_dense(x_, c_, w_, b_,
+                                                        inverse),
+        x, ctx, weights, biases,
+    )
+    return vjp(g)
+
+
+fused_coupling_chain.defvjp(_fcc_fwd, _fcc_bwd)
