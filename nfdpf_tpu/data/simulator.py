@@ -134,7 +134,10 @@ class DiskSimulator:
         d_state0 = jnp.concatenate([d_pos0, d_vel0], axis=-1)
         d_radii = jax.random.randint(k[4], (nd,), 3, 10).astype(jnp.float32)
         d_colidx = jax.random.randint(k[5], (nd,), 0, DISTRACTOR_COLORS.shape[0])
-        d_colors = DISTRACTOR_COLORS[d_colidx]
+        # palette lookup as one-hot matmul: keeps the palette a host-side
+        # numpy constant (embedded directly into the program, no device
+        # round-trip at lowering)
+        d_colors = jax.nn.one_hot(d_colidx, DISTRACTOR_COLORS.shape[0]) @ DISTRACTOR_COLORS
 
         start_image, _ = render_frame(red0, d_state0, d_radii, d_colors,
                                       self.im_size)
