@@ -46,9 +46,15 @@ def main() -> None:
     p.add_argument("--out", default="experiments/rmse_results.json")
     p.add_argument("--init-true", action="store_true",
                    help="init particles at the true start state")
+    p.add_argument("--seq-len", type=int, default=50)
+    p.add_argument("--distractors", type=int, default=25)
+    p.add_argument("--cpu", action="store_true", help="force CPU platform")
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -58,17 +64,19 @@ def main() -> None:
     from nfdpf_tpu.train import Trainer
 
     total = int(np.ceil(args.sequences / 0.8))
-    probe = os.path.join(args.data_dir, "toy_pn=2.0_d=25_const0_train.npz")
+    probe = os.path.join(
+        args.data_dir, f"toy_pn=2.0_d={args.distractors}_const0_train.npz")
     if not os.path.exists(probe):
         print(f"generating {total} sequences ...", flush=True)
         t0 = time.time()
         generate_dataset(args.data_dir, num_examples=args.sequences,
-                         file_size=total, num_distractors=25, pos_noise=2.0,
-                         sequence_length=50, seed=0)
+                         file_size=total, num_distractors=args.distractors,
+                         pos_noise=2.0, sequence_length=args.seq_len, seed=0)
         print(f"generated in {time.time()-t0:.0f}s", flush=True)
 
-    train_ds = DiskDataset(args.data_dir, "toy_pn=2.0_d=25_const", "train_data")
-    val_ds = DiskDataset(args.data_dir, "toy_pn=2.0_d=25_const", "val_data")
+    name = f"toy_pn=2.0_d={args.distractors}_const"
+    train_ds = DiskDataset(args.data_dir, name, "train_data")
+    val_ds = DiskDataset(args.data_dir, name, "val_data")
     print(f"train {len(train_ds)}, val {len(val_ds)}", flush=True)
 
     # stage everything on device once (uint8 images)
@@ -85,7 +93,7 @@ def main() -> None:
           train_dev["image"].nbytes / 1e6, "MB train images", flush=True)
 
     cfg = DPFConfig(
-        num_particles=args.particles, sequence_length=50,
+        num_particles=args.particles, sequence_length=args.seq_len,
         batch_size=args.batch, init_with_true_state=args.init_true,
         **CONFIGS[args.config],
     )
@@ -106,11 +114,12 @@ def main() -> None:
             batch = {k: v[idx] for k, v in train_dev.items()}
             key, sub = jax.random.split(key)
             state, m = train_step(state, batch, sub)
-        # eval on the full val set in chunks of 50
+        # eval on the full val set in fixed-size chunks
         evals = []
         n_val = val_dev["image"].shape[0]
-        for lo in range(0, n_val - 49, 50):
-            vbatch = {k: v[lo:lo + 50] for k, v in val_dev.items()}
+        eval_bs = min(50, n_val)
+        for lo in range(0, n_val - eval_bs + 1, eval_bs):
+            vbatch = {k: v[lo:lo + eval_bs] for k, v in val_dev.items()}
             key, sub = jax.random.split(key)
             em, _ = eval_step(state, vbatch, sub)
             evals.append(float(em["loss_sup"]))

@@ -35,6 +35,10 @@ def supervised_loss(
     prediction = weighted_mean(particles, weights)            # (B, T, d)
     err2 = (prediction - true_state[..., :2]) ** 2
     if train:
+        if labeled_ratio == 0:
+            # fully unsupervised: no labelled term (`losses.py:27-28`
+            # returns bare 0 here; we keep the (loss, prediction) contract)
+            return jnp.asarray(0.0), prediction
         mask_arr = jnp.asarray(mask)
         if mask_arr.ndim == 2:
             mask_arr = mask_arr[..., None]

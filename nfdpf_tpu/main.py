@@ -87,7 +87,11 @@ def main(argv=None) -> None:
     if not cfg.testing:
         if cfg.pretrain_ae:
             print("pretraining autoencoder ...")
-            state = trainer.pretrain_ae(train_iter, state, num_epochs=300)
+            state = trainer.pretrain_ae(
+                train_iter, state, num_epochs=300,
+                valid_batches=val_iter,
+                ckpt_path=os.path.join(run_dir, "models", "ae_pretrain"),
+            )
         if cfg.e2e_train:
             print("end-to-end training ...")
             logger = MetricsLogger(os.path.join(run_dir, "logger"))

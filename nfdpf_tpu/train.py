@@ -298,18 +298,58 @@ class Trainer:
         return state
 
     def pretrain_ae(self, train_batches, state: TrainState,
-                    num_epochs: int = 300) -> TrainState:
+                    num_epochs: int = 300, valid_batches=None,
+                    ckpt_path: Optional[str] = None,
+                    logger: Optional[MetricsLogger] = None) -> TrainState:
+        """AE-only pretraining (`DPFs.py:231-302`): per-epoch train + val,
+        best-val checkpoint, and reload of the best weights at the end."""
         ae_step = self.make_ae_pretrain_step()
+        engine = self.engine
+
+        @jax.jit
+        def ae_eval(params, rest, images):
+            variables = _merge_variables(params, rest)
+            feats = engine.encoder.apply(variables["encoder"], images,
+                                         train=False)
+            recon = engine.decoder.apply(variables["decoder"], feats,
+                                         train=False)
+            return jnp.mean((recon - images) ** 2)
+
+        def _frames(batch):
+            images = batch["image"]
+            if images.dtype == np.uint8 or images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
+            b, t = images.shape[:2]
+            return images.reshape((b * t,) + images.shape[2:])
+
+        best_val = float("inf")
+        best = None
         for epoch in range(num_epochs):
             losses = []
             for batch in train_batches(epoch):
-                images = batch["image"]
-                b, t = images.shape[:2]
-                state, loss = ae_step(
-                    state, images.reshape((b * t,) + images.shape[2:])
-                )
+                state, loss = ae_step(state, _frames(batch))
                 losses.append(float(loss))
-            print(f"AE pretrain epoch {epoch}: {np.mean(losses):.5f}")
+            train_mean = float(np.mean(losses))
+            val_mean = train_mean
+            if valid_batches is not None:
+                vlosses = [
+                    float(ae_eval(state.params, state.rest, _frames(b)))
+                    for b in valid_batches()
+                ]
+                val_mean = float(np.mean(vlosses))
+                if logger is not None:
+                    logger.scalar("PretrainAE_loss_eval/loss", val_mean, epoch)
+            print(f"AE pretrain epoch {epoch}: train {train_mean:.5f} "
+                  f"val {val_mean:.5f}")
+            if val_mean < best_val:
+                best_val = val_mean
+                best = jax.device_get({"params": state.params,
+                                       "rest": state.rest})
+                if ckpt_path is not None:
+                    save_checkpoint(ckpt_path, best)
+        if best is not None:
+            # reload best weights, as the reference does (`DPFs.py:300-302`)
+            state = state.replace(params=best["params"], rest=best["rest"])
         return state
 
     def test(self, test_batches, state: TrainState, run_dir: str,

@@ -109,6 +109,20 @@ def test_ae_pretrain_step():
     assert losses[-1] < losses[0]
 
 
+def test_ae_pretrain_loop_with_validation(tmp_path):
+    cfg = _tiny_cfg()
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = _tiny_batch(jax.random.PRNGKey(1), cfg)
+    batches = lambda epoch=0: iter([batch])  # noqa: E731
+    vbatches = lambda: iter([batch])         # noqa: E731
+    out = trainer.pretrain_ae(batches, state, num_epochs=2,
+                              valid_batches=vbatches,
+                              ckpt_path=str(tmp_path / "ae"))
+    import os
+    assert os.path.isdir(tmp_path / "ae")
+
+
 def test_fit_and_test_end_to_end(tmp_path):
     """Mini CLI flow: generate data → 2 epochs fit → test, real artifacts."""
     data_dir = str(tmp_path / "data")
