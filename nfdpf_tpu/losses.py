@@ -9,7 +9,7 @@ reference's flat-index gathers — identical semantics, gather-friendly layout.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

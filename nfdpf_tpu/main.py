@@ -12,7 +12,6 @@ cv2 generation step first).
 from __future__ import annotations
 
 import os
-import sys
 
 import jax
 import numpy as np

@@ -16,7 +16,7 @@ Structure (defaults: x=y=(8,8,3), K=1, L=1, `arguments.py:88-98`):
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,9 +26,7 @@ a plain dict-of-variables pytree, so the whole filter is a pure function of
 
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

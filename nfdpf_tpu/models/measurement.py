@@ -16,8 +16,6 @@ particle axis is sharded).
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -26,7 +24,7 @@ from nfdpf_tpu.config import DPFConfig
 from nfdpf_tpu.models.cglow import CondGlowModel
 from nfdpf_tpu.models.nets import LikelihoodNet, ParticleEncoder
 from nfdpf_tpu.ops.density import cosine_distance
-from nfdpf_tpu.ops.flows import FlowChain, realnvp_chain
+from nfdpf_tpu.ops.flows import realnvp_chain
 
 Array = jax.Array
 

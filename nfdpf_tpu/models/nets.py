@@ -15,7 +15,7 @@ ones; same parameters, different BN batch statistics during training).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

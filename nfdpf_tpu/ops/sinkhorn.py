@@ -26,7 +26,6 @@ Annealing schedule parity (`resamplers.py:113-179`):
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax

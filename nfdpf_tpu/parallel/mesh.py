@@ -22,7 +22,7 @@ hosts and DCN-crossing collectives are laid out by XLA).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import numpy as np
