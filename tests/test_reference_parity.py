@@ -223,3 +223,104 @@ def test_soft_resampler_q_distribution_matches_reference():
     gathered = np.take_along_axis(corrected_ref, np.asarray(idx), axis=1)
     expected = gathered / gathered.sum(-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(w), expected, rtol=1e-5)
+
+
+def _copy_particle_encoder_to_torch(torch_seq, flax_params):
+    """Load our ParticleEncoder params into the reference's MLP
+    (`model/models.py:130-139`)."""
+    linears = [m for m in torch_seq if isinstance(m, torch.nn.Linear)]
+    for i, lin in enumerate(linears):
+        dense = flax_params[f"Dense_{i}"]
+        with torch.no_grad():
+            lin.weight.copy_(torch.tensor(np.asarray(dense["kernel"]).T))
+            lin.bias.copy_(torch.tensor(np.asarray(dense["bias"])))
+
+
+def test_cosine_measurement_matches_reference():
+    from model.models import build_particle_encoder, measurement_model_cosine_distance
+
+    from nfdpf_tpu.config import DPFConfig
+    from nfdpf_tpu.models.measurement import build_measurement_model
+
+    cfg = DPFConfig(measurement="cos")
+    ours = build_measurement_model(cfg)
+    key = jax.random.PRNGKey(0)
+    enc = jax.random.normal(key, (3, 32))
+    particles = jax.random.normal(jax.random.PRNGKey(1), (3, 7, 2)) * 10
+    variables = ours.init(key, enc, particles)
+
+    ref_pe = build_particle_encoder(32, 2)
+    _copy_particle_encoder_to_torch(
+        ref_pe, variables["params"]["particle_encoder"]
+    )
+    ref = measurement_model_cosine_distance(ref_pe)
+    with torch.no_grad():
+        lik_ref = ref(torch.tensor(np.asarray(enc)),
+                      torch.tensor(np.asarray(particles)))
+    lik = ours.apply(variables, enc, particles)
+    np.testing.assert_allclose(np.asarray(lik), lik_ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_gaussian_measurement_matches_reference():
+    from model.models import build_particle_encoder, measurement_model_Gaussian
+    from torch.distributions import MultivariateNormal
+
+    from nfdpf_tpu.config import DPFConfig
+    from nfdpf_tpu.models.measurement import build_measurement_model
+
+    cfg = DPFConfig(measurement="gaussian")
+    ours = build_measurement_model(cfg)
+    key = jax.random.PRNGKey(2)
+    enc = jax.random.normal(key, (2, 32))
+    particles = jax.random.normal(jax.random.PRNGKey(3), (2, 5, 2)) * 10
+    variables = ours.init(key, enc, particles)
+
+    ref_pe = build_particle_encoder(32, 2)
+    _copy_particle_encoder_to_torch(
+        ref_pe, variables["params"]["particle_encoder"]
+    )
+    dist = MultivariateNormal(torch.ones(32), 100 * torch.eye(32))
+    ref = measurement_model_Gaussian(ref_pe, dist)
+    with torch.no_grad():
+        lik_ref = ref(torch.tensor(np.asarray(enc)),
+                      torch.tensor(np.asarray(particles)))
+    lik = ours.apply(variables, enc, particles)
+    np.testing.assert_allclose(np.asarray(lik), lik_ref.numpy(), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_crnvp_measurement_matches_reference():
+    from model.models import build_particle_encoder, measurement_model_cnf
+    from nf.flows import RealNVP_cond
+    from nf.models import NormalizingFlowModel_cond
+    from torch.distributions import MultivariateNormal
+
+    from nfdpf_tpu.config import DPFConfig
+    from nfdpf_tpu.models.measurement import build_measurement_model
+
+    cfg = DPFConfig(measurement="CRNVP")
+    ours = build_measurement_model(cfg)
+    key = jax.random.PRNGKey(4)
+    enc = jax.random.normal(key, (2, 32))
+    particles = jax.random.normal(jax.random.PRNGKey(5), (2, 5, 2)) * 10
+    variables = ours.init(key, enc, particles)
+
+    ref_pe = build_particle_encoder(32, 2)
+    _copy_particle_encoder_to_torch(
+        ref_pe, variables["params"]["particle_encoder"]
+    )
+    flows = [RealNVP_cond(dim=32, hidden_dim=8, obser_dim=32) for _ in range(2)]
+    for i, rf in enumerate(flows):
+        sub = variables["params"]["cnf"][f"flows_{i}"]
+        for name in ("t1", "s1", "t2", "s2"):
+            _copy_fcnn_to_torch(getattr(rf, name), sub[name])
+    prior = MultivariateNormal(torch.zeros(32), torch.eye(32) * 2.5**2)
+    cnf = NormalizingFlowModel_cond(prior, flows, device="cpu")
+    ref = measurement_model_cnf(ref_pe, cnf)
+    with torch.no_grad():
+        lik_ref = ref(torch.tensor(np.asarray(enc)),
+                      torch.tensor(np.asarray(particles)))
+    lik = ours.apply(variables, enc, particles)
+    np.testing.assert_allclose(np.asarray(lik), lik_ref.numpy(), rtol=1e-4,
+                               atol=1e-4)
