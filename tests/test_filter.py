@@ -151,3 +151,26 @@ def test_ess_gate_both_ways():
         jax.random.PRNGKey(2), train=False,
     )
     assert np.all(np.asarray(out2.indices) == identity)
+
+
+def test_remat_scan_step_identical_results():
+    """remat trades FLOPs for BPTT memory; results must be identical."""
+    images, start, vel = _synthetic_batch(jax.random.PRNGKey(1), _small_cfg())
+    outs = []
+    for remat in (False, True):
+        cfg = _small_cfg(remat_scan_step=remat)
+        engine = DPF(cfg)
+        variables = engine.init(jax.random.PRNGKey(0))
+
+        def loss(variables):
+            out, _, _ = engine.filter(variables, images, start, vel,
+                                      jax.random.PRNGKey(2), train=False)
+            return jnp.sum(out.particles**2)
+
+        val, grads = jax.value_and_grad(loss)(variables)
+        outs.append((float(val), grads))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+    for g0, g1 in zip(jax.tree_util.tree_leaves(outs[0][1]),
+                      jax.tree_util.tree_leaves(outs[1][1])):
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-4,
+                                   atol=1e-6)
