@@ -55,3 +55,22 @@ def test_metrics_logger_jsonl(tmp_path):
     lines = open(os.path.join(log_dir, "metrics.jsonl")).readlines()
     rec = json.loads(lines[0])
     assert rec["tag"] == "Sup_loss/loss" and rec["value"] == 1.25
+
+
+def test_throughput_meter():
+    from nfdpf_tpu.utils.profiling import ThroughputMeter
+
+    meter = ThroughputMeter(batch=2, particles=10, seq_len=5, warmup=1)
+    x = jnp.ones(4)
+    for _ in range(4):
+        meter.tick(x)
+    rate = meter.rate(x)
+    assert rate > 0
+
+
+def test_profiler_trace(tmp_path):
+    from nfdpf_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path / "prof")):
+        _ = jnp.arange(8.0) * 2
+    assert os.path.isdir(tmp_path / "prof")
