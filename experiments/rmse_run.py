@@ -49,6 +49,8 @@ def main() -> None:
     p.add_argument("--seq-len", type=int, default=50)
     p.add_argument("--distractors", type=int, default=25)
     p.add_argument("--cpu", action="store_true", help="force CPU platform")
+    p.add_argument("--pretrain-epochs", type=int, default=0,
+                   help="AE pretraining epochs before e2e (`DPFs.py:410-412`)")
     args = p.parse_args()
 
     import jax
@@ -107,6 +109,20 @@ def main() -> None:
     rng = np.random.default_rng(0)
     history = []
     t_start = time.time()
+
+    if args.pretrain_epochs > 0:
+        ae_step = trainer.make_ae_pretrain_step()
+        t = args.seq_len
+        for epoch in range(args.pretrain_epochs):
+            order = rng.permutation(n_train)
+            for lo in range(0, n_train - args.batch + 1, args.batch):
+                idx = jnp.asarray(order[lo:lo + args.batch])
+                frames = train_dev["image"][idx].astype(jnp.float32) / 255.0
+                frames = frames.reshape((-1,) + frames.shape[2:])
+                state, ae_loss = ae_step(state, frames)
+            if epoch % 10 == 0 or epoch == args.pretrain_epochs - 1:
+                print(f"AE pretrain epoch {epoch}: {float(ae_loss):.5f} "
+                      f"[{time.time()-t_start:.0f}s]", flush=True)
     for epoch in range(args.epochs):
         order = rng.permutation(n_train)
         for lo in range(0, n_train - args.batch + 1, args.batch):
