@@ -91,6 +91,25 @@ def main(argv=None) -> None:
                 valid_batches=val_iter,
                 ckpt_path=os.path.join(run_dir, "models", "ae_pretrain"),
             )
+        if cfg.load_pretrain_model:
+            # `DPFs.py:311-315`: load the AE-pretrain checkpoint before
+            # end-to-end training (the reference has a latent `self.model`
+            # typo there; implemented correctly here).
+            ae_ckpt = os.path.join(run_dir, "models", "ae_pretrain")
+            if not os.path.isdir(ae_ckpt):
+                ae_ckpt = os.path.join(cfg.model_path, "ae_pretrain")
+            if os.path.isdir(ae_ckpt):
+                print("loading pretrained AE weights from", ae_ckpt)
+                from nfdpf_tpu.utils.checkpoint import restore_checkpoint
+
+                tree = restore_checkpoint(
+                    ae_ckpt, {"params": state.params, "rest": state.rest}
+                )
+                state = state.replace(params=tree["params"],
+                                      rest=tree["rest"])
+            else:
+                print(f"no AE-pretrain checkpoint found at {ae_ckpt}; "
+                      "continuing with fresh weights")
         if cfg.e2e_train:
             print("end-to-end training ...")
             logger = MetricsLogger(os.path.join(run_dir, "logger"))
