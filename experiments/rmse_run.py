@@ -49,6 +49,10 @@ def main() -> None:
     p.add_argument("--seq-len", type=int, default=50)
     p.add_argument("--distractors", type=int, default=25)
     p.add_argument("--cpu", action="store_true", help="force CPU platform")
+    p.add_argument("--train-type", default="DPF", choices=["DPF", "SDPF"],
+                   help="SDPF adds the blockwise pseudo-likelihood loss")
+    p.add_argument("--labeled-ratio", type=float, default=1.0,
+                   help="semi-supervised label budget (`arguments.py:53`)")
     p.add_argument("--pretrain-epochs", type=int, default=0,
                    help="AE pretraining epochs before e2e (`DPFs.py:410-412`)")
     args = p.parse_args()
@@ -97,6 +101,7 @@ def main() -> None:
     cfg = DPFConfig(
         num_particles=args.particles, sequence_length=args.seq_len,
         batch_size=args.batch, init_with_true_state=args.init_true,
+        train_type=args.train_type, labeled_ratio=args.labeled_ratio,
         **CONFIGS[args.config],
     )
     trainer = Trainer(cfg)
@@ -147,6 +152,8 @@ def main() -> None:
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
         with open(args.out, "w") as f:
             json.dump({"config": args.config, "epochs": epoch + 1,
+                       "train_type": args.train_type,
+                       "labeled_ratio": args.labeled_ratio,
                        "particles": args.particles,
                        "init_with_true_state": args.init_true,
                        "val_rmse_per_epoch": history,

@@ -324,3 +324,216 @@ def test_crnvp_measurement_matches_reference():
     lik = ours.apply(variables, enc, particles)
     np.testing.assert_allclose(np.asarray(lik), lik_ref.numpy(), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_nsf_coupling_matches_reference():
+    """NSF_CL forward/inverse vs the reference (`nf/flows.py:404-458`)."""
+    from nf.flows import NSF_CL
+
+    dim = 4
+    m = jflows.NSFCoupling(dim=dim, K=5, B=3.0, hidden_dim=8)
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (32, dim)) * 2.0   # exercise tails and bins
+    params = m.init(key, x)["params"]
+
+    ref = NSF_CL(dim=dim, K=5, B=3, hidden_dim=8)
+    _copy_fcnn_to_torch(ref.f1, params["f1"])
+    _copy_fcnn_to_torch(ref.f2, params["f2"])
+
+    tx = torch.tensor(np.asarray(x))
+    with torch.no_grad():
+        z_ref, ld_ref = ref.forward(tx)
+    z, ld = m.apply({"params": params}, x, method=jflows.NSFCoupling.forward)
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld), ld_ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+    with torch.no_grad():
+        x_ref, ldi_ref = ref.inverse(tx)
+    xi, ldi = m.apply({"params": params}, x, method=jflows.NSFCoupling.inverse)
+    np.testing.assert_allclose(np.asarray(xi), x_ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ldi), ldi_ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_nsf_autoregressive_matches_reference():
+    """NSF_AR forward/inverse vs the reference (`nf/flows.py:347-401`).
+
+    Our ``init_param`` stores U[0,1) and subtracts 0.5 at use time (the
+    reference initialises U[-1/2,1/2) directly), so the torch copy gets
+    ``ours - 0.5``.
+    """
+    from nf.flows import NSF_AR
+
+    dim = 2
+    m = jflows.NSFAutoregressive(dim=dim, K=5, B=3.0, hidden_dim=8)
+    key = jax.random.PRNGKey(13)
+    x = jax.random.normal(key, (32, dim)) * 2.0
+    params = m.init(key, x)["params"]
+
+    ref = NSF_AR(dim=dim, K=5, B=3, hidden_dim=8)
+    with torch.no_grad():
+        ref.init_param.copy_(
+            torch.tensor(np.asarray(params["init_param"]) - 0.5))
+    for i, layer in enumerate(ref.layers):
+        _copy_fcnn_to_torch(layer, params[f"layers_{i}"])
+
+    tx = torch.tensor(np.asarray(x))
+    with torch.no_grad():
+        z_ref, ld_ref = ref.forward(tx)
+    z, ld = m.apply({"params": params}, x,
+                    method=jflows.NSFAutoregressive.forward)
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld), ld_ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+    with torch.no_grad():
+        x_ref, ldi_ref = ref.inverse(tx)
+    xi, ldi = m.apply({"params": params}, x,
+                      method=jflows.NSFAutoregressive.inverse)
+    np.testing.assert_allclose(np.asarray(xi), x_ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ldi), ldi_ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_maf_matches_reference():
+    """MAF forward/inverse vs the reference (`nf/flows.py:241-284`).
+
+    Our ``initial_param`` stores U[0, 2√.5) and subtracts √.5 at use time."""
+    import math
+
+    from nf.flows import MAF as RefMAF
+
+    dim = 2
+    m = jflows.MAF(dim=dim, hidden_dim=8)
+    key = jax.random.PRNGKey(17)
+    x = jax.random.normal(key, (16, dim))
+    params = m.init(key, x)["params"]
+
+    ref = RefMAF(dim=dim, hidden_dim=8)
+    with torch.no_grad():
+        ref.initial_param.copy_(torch.tensor(
+            np.asarray(params["initial_param"]) - math.sqrt(0.5)))
+    for i, layer in enumerate(ref.layers):
+        _copy_fcnn_to_torch(layer, params[f"layers_{i}"])
+
+    tx = torch.tensor(np.asarray(x))
+    with torch.no_grad():
+        z_ref, ld_ref = ref.forward(tx)
+    z, ld = m.apply({"params": params}, x, method=jflows.MAF.forward)
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld), ld_ref.numpy(), rtol=1e-5,
+                               atol=1e-6)
+
+    with torch.no_grad():
+        x_ref, ldi_ref = ref.inverse(tx)
+    xi, ldi = m.apply({"params": params}, x, method=jflows.MAF.inverse)
+    np.testing.assert_allclose(np.asarray(xi), x_ref.numpy(), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ldi), ldi_ref.numpy(), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_actnorm_and_lu_linear_match_reference():
+    """ActNorm and OneByOneConv vs the reference (`nf/flows.py:287-344`)."""
+    from nf.flows import ActNorm as RefActNorm
+    from nf.flows import OneByOneConv as RefConv
+
+    dim = 2
+    key = jax.random.PRNGKey(19)
+    x = jax.random.normal(key, (16, dim))
+
+    # --- ActNorm (randomised params, reference inits to zeros) ---
+    m = jflows.ActNorm(dim=dim)
+    params = {
+        "mu": jax.random.normal(jax.random.PRNGKey(1), (dim,)),
+        "log_sigma": 0.3 * jax.random.normal(jax.random.PRNGKey(2), (dim,)),
+    }
+    ref = RefActNorm(dim)
+    with torch.no_grad():
+        ref.mu.copy_(torch.tensor(np.asarray(params["mu"])))
+        ref.log_sigma.copy_(torch.tensor(np.asarray(params["log_sigma"])))
+    tx = torch.tensor(np.asarray(x))
+    with torch.no_grad():
+        z_ref, ld_ref = ref.forward(tx)
+    z, ld = m.apply({"params": params}, x, method=jflows.ActNorm.forward)
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld)[0], float(ld_ref), rtol=1e-6)
+    with torch.no_grad():
+        xr, ldi_ref = ref.inverse(tx)
+    xi, ldi = m.apply({"params": params}, x, method=jflows.ActNorm.inverse)
+    np.testing.assert_allclose(np.asarray(xi), xr.numpy(), rtol=1e-6)
+
+    # --- OneByOneConv / InvertibleLinear (copy OUR LU factors into torch) ---
+    lin = jflows.InvertibleLinear(dim=dim)
+    variables = lin.init(jax.random.PRNGKey(3), x)
+    p = variables["params"]
+    ref_c = RefConv(dim)
+    with torch.no_grad():
+        ref_c.P = torch.tensor(np.asarray(variables["constants"]["P"]))
+        ref_c.L.copy_(torch.tensor(np.asarray(p["L"])))
+        ref_c.S.copy_(torch.tensor(np.asarray(p["S"])))
+        ref_c.U.copy_(torch.tensor(np.asarray(p["U"])))
+    with torch.no_grad():
+        z_ref, ld_ref = ref_c.forward(tx)
+    z, ld = lin.apply(variables, x, method=jflows.InvertibleLinear.forward)
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld)[0], float(ld_ref), rtol=1e-5)
+    with torch.no_grad():
+        x_ref, _ = ref_c.inverse(tx)
+    xi, _ = lin.apply(variables, x, method=jflows.InvertibleLinear.inverse)
+    np.testing.assert_allclose(np.asarray(xi), x_ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_planar_and_radial_match_reference():
+    """Planar vs reference; Radial at batch=1 where the reference's global
+    norm (`nf/flows.py:91`) coincides with the per-sample radius."""
+    import math
+
+    from nf.flows import Planar as RefPlanar
+    from nf.flows import Radial as RefRadial
+
+    dim = 2
+    bound = math.sqrt(1.0 / dim)
+    key = jax.random.PRNGKey(23)
+    x = jax.random.normal(key, (16, dim))
+
+    m = jflows.Planar(dim=dim)
+    params = m.init(key, x)["params"]
+    ref = RefPlanar(dim)
+    with torch.no_grad():
+        ref.w.copy_(torch.tensor(np.asarray(params["w"]) - bound))
+        ref.u.copy_(torch.tensor(np.asarray(params["u"]) - bound))
+        ref.b.copy_(torch.tensor(np.asarray(params["b"]) - bound))
+    tx = torch.tensor(np.asarray(x))
+    with torch.no_grad():
+        z_ref, ld_ref = ref.forward(tx)
+    z, ld = m.apply({"params": params}, x, method=jflows.Planar.forward)
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld), ld_ref.numpy(), rtol=1e-4,
+                               atol=1e-6)
+
+    x1 = x[:1]
+    mr = jflows.Radial(dim=dim)
+    rparams = mr.init(key, x1)["params"]
+    ref_r = RefRadial(dim)
+    with torch.no_grad():
+        ref_r.x0.copy_(torch.tensor(np.asarray(rparams["x0"]) - bound))
+        ref_r.log_alpha.copy_(
+            torch.tensor(np.asarray(rparams["log_alpha"]) - bound))
+        ref_r.beta.copy_(torch.tensor(np.asarray(rparams["beta"]) - bound))
+    with torch.no_grad():
+        z_ref, ld_ref = ref_r.forward(torch.tensor(np.asarray(x1)))
+    z, ld = mr.apply({"params": rparams}, x1, method=jflows.Radial.forward)
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld), ld_ref.numpy()[:1], rtol=1e-4,
+                               atol=1e-5)
