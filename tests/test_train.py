@@ -144,3 +144,33 @@ def test_fit_and_test_end_to_end(tmp_path):
     loss = trainer.test(vbatches, state, run_dir)
     assert np.isfinite(loss)
     assert os.path.exists(os.path.join(run_dir, "data", "test_result.npz"))
+
+
+def test_cli_main_resume_and_pretrain_load(tmp_path, monkeypatch):
+    """Drive nfdpf_tpu.main twice: first run trains 1 epoch and checkpoints;
+    second run resumes from it (`--resume`) and exercises the
+    `--load-pretrainModel` no-checkpoint fallback (`DPFs.py:311-315,406-408`
+    semantics)."""
+    from nfdpf_tpu.main import main
+
+    monkeypatch.chdir(tmp_path)
+    args = [
+        "--num-epochs", "1", "--num-particles", "8", "--batchsize", "2",
+        "--sequence-length", "3", "--resampler_type", "soft",
+        "--measurement", "cos", "--data-path", str(tmp_path / "disks"),
+    ]
+    # tiny dataset: generate directly so main() doesn't build 200 sequences
+    from nfdpf_tpu.data.simulator import generate_dataset
+
+    generate_dataset(str(tmp_path / "disks"), num_examples=8, file_size=8,
+                     num_distractors=3, pos_noise=2.0, sequence_length=3,
+                     seed=0)
+    main(args)
+    run_dirs = list((tmp_path / "logs").iterdir())
+    assert len(run_dirs) == 1
+    assert (run_dirs[0] / "models" / "final").is_dir()
+    assert (run_dirs[0] / "data" / "test_result.npz").is_file()
+
+    # resume + pretrain-load fallback both exercised
+    main(args + ["--resume", "--load-pretrainModel"])
+    assert (run_dirs[0] / "models" / "final").is_dir()
