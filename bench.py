@@ -28,6 +28,33 @@ NUM_PARTICLES = 100
 SEQ_LEN = 50
 
 
+def chunked_median_time(step_once, iters: int, chunk: int = 5) -> float:
+    """Median per-step time over whole timed chunks of `chunk` steps.
+
+    The remote-chip tunnel injects multi-ms latency spikes that a single
+    mean-over-window absorbs; chunked medians report the steady-state rate.
+    `iters` is rounded to whole chunks (total timed steps = n_chunks*chunk);
+    when iters < 2*chunk the "median" degenerates to a single-chunk mean
+    (used only by the CPU fallback, where tunnel jitter is not a factor).
+    `step_once(i)` runs step i and returns a value to block on.
+    """
+    import jax
+
+    chunk = min(chunk, iters)
+    n_chunks = max(1, round(iters / chunk))
+    times = []
+    k = 0
+    for _ in range(n_chunks):
+        t0 = time.perf_counter()
+        for _ in range(chunk):
+            out = step_once(k)
+            k += 1
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / chunk)
+    times.sort()
+    return times[len(times) // 2]
+
+
 def measure_jax(warmup: int = 8, iters: int = 20) -> float:
     import jax
     import jax.numpy as jnp
@@ -61,20 +88,14 @@ def measure_jax(warmup: int = 8, iters: int = 20) -> float:
         state, m = step(state, batch, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(m["loss"])
 
-    # median of timed chunks: the remote-chip tunnel injects multi-ms
-    # latency spikes that a single mean-over-window absorbs; chunked medians
-    # report the steady-state rate
-    chunk = 5
-    times = []
-    for c in range(max(1, iters // chunk)):
-        t0 = time.perf_counter()
-        for i in range(chunk):
-            state, m = step(state, batch,
-                            jax.random.PRNGKey(100 + c * chunk + i))
-        jax.block_until_ready(m["loss"])
-        times.append((time.perf_counter() - t0) / chunk)
-    times.sort()
-    dt = times[len(times) // 2]
+    holder = {"state": state}
+
+    def step_once(i):
+        holder["state"], m = step(holder["state"], batch,
+                                  jax.random.PRNGKey(100 + i))
+        return m["loss"]
+
+    dt = chunked_median_time(step_once, iters)
     return BATCH * NUM_PARTICLES * SEQ_LEN / dt
 
 

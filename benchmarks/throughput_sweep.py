@@ -12,8 +12,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def measure(cfg, batch_size, warmup, iters):
@@ -36,11 +39,19 @@ def measure(cfg, batch_size, warmup, iters):
     for i in range(warmup):
         state, m = step(state, batch, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = step(state, batch, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(m["loss"])
-    dt = (time.perf_counter() - t0) / iters
+
+    # chunked-median timing (tunnel-jitter robust), shared with bench.py so
+    # the sweep matches the documented "steady-state medians" methodology
+    from bench import chunked_median_time
+
+    holder = {"state": state}
+
+    def step_once(i):
+        holder["state"], m = step(holder["state"], batch,
+                                  jax.random.PRNGKey(100 + i))
+        return m["loss"]
+
+    dt = chunked_median_time(step_once, iters)
     return batch_size * cfg.num_particles * t / dt, dt
 
 

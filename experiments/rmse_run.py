@@ -55,6 +55,8 @@ def main() -> None:
                    help="semi-supervised label budget (`arguments.py:53`)")
     p.add_argument("--pretrain-epochs", type=int, default=0,
                    help="AE pretraining epochs before e2e (`DPFs.py:410-412`)")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--seed", type=int, default=2)
     args = p.parse_args()
 
     import jax
@@ -102,6 +104,7 @@ def main() -> None:
         num_particles=args.particles, sequence_length=args.seq_len,
         batch_size=args.batch, init_with_true_state=args.init_true,
         train_type=args.train_type, labeled_ratio=args.labeled_ratio,
+        lr=args.lr, seed=args.seed,
         **CONFIGS[args.config],
     )
     trainer = Trainer(cfg)

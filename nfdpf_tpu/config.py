@@ -96,6 +96,9 @@ class DPFConfig:
 
     # --- data location ---
     data_path: str = "./data/disk/TwentyfiveDistractors/"
+    num_examples: int = 1000           # auto-generated train sequences
+                                       # (reference generator default,
+                                       # `create_dataset.py:283-326`)
 
     # --- TPU-specific (no reference analog) ---
     mesh_data: int = 1                 # mesh size along the batch ('data') axis
@@ -120,13 +123,15 @@ def parse_args(argv=None) -> DPFConfig:
     p.add_argument("--trainType", dest="train_type", type=str, default="DPF",
                    choices=["DPF", "SDPF", "UDPF"])
     p.add_argument("--pretrain_ae", action="store_true")
-    p.add_argument("--pretrain-NFcond", dest="pretrain_nfcond", action="store_true")
+    p.add_argument("--pretrain-NFcond", dest="pretrain_nfcond", action="store_true",
+                   help="accepted for reference CLI parity; no effect (dead in the reference too)")
     p.add_argument("--e2e-train", dest="e2e_train", action="store_false")
     p.add_argument("--load-pretrainModel", dest="load_pretrain_model", action="store_true")
     p.add_argument("--NF-dyn", dest="nf_dyn", action="store_true")
     p.add_argument("--NF-cond", dest="nf_cond", action="store_true")
     p.add_argument("--measurement", type=str, default="cos")
-    p.add_argument("--NF-lr", dest="nf_lr", type=float, default=2.5)
+    p.add_argument("--NF-lr", dest="nf_lr", type=float, default=2.5,
+                   help="accepted for reference CLI parity; no effect (dead in the reference too)")
     p.add_argument("--epsilon", type=float, default=0.1)
     p.add_argument("--scaling", type=float, default=0.75)
     p.add_argument("--alpha", type=float, default=0.5)
@@ -135,8 +140,10 @@ def parse_args(argv=None) -> DPFConfig:
     p.add_argument("--resampler_type", type=str, default="ot")
     p.add_argument("--ot-transport-grad", dest="ot_transport_grad", action="store_true")
     p.add_argument("--resume", action="store_true")
-    p.add_argument("--Dyn_nn", dest="dyn_nn", action="store_true")
-    p.add_argument("--Obs_feature", dest="obs_feature", action="store_false")
+    p.add_argument("--Dyn_nn", dest="dyn_nn", action="store_true",
+                   help="accepted for reference CLI parity; no effect (dead in the reference too)")
+    p.add_argument("--Obs_feature", dest="obs_feature", action="store_false",
+                   help="accepted for reference CLI parity; no effect (dead in the reference too)")
     p.add_argument("--batchsize", dest="batch_size", type=int, default=32)
     p.add_argument("--hiddensize", dest="hidden_size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -146,8 +153,10 @@ def parse_args(argv=None) -> DPFConfig:
     p.add_argument("--split-ratio", dest="split_ratio", type=float, default=0.9)
     p.add_argument("--labeledRatio", dest="labeled_ratio", type=float, default=1.0)
     p.add_argument("--init-with-true-state", dest="init_with_true_state", action="store_true")
-    p.add_argument("--dropout-keep-ratio", dest="dropout_keep_ratio", type=float, default=0.3)
-    p.add_argument("--particle_std", type=float, default=0.2)
+    p.add_argument("--dropout-keep-ratio", dest="dropout_keep_ratio", type=float, default=0.3,
+                   help="accepted for reference CLI parity; no effect (dead in the reference too)")
+    p.add_argument("--particle_std", type=float, default=0.2,
+                   help="accepted for reference CLI parity; no effect (dead in the reference too)")
     p.add_argument("--seed", type=int, default=2)
     p.add_argument("--sequence-length", dest="sequence_length", type=int, default=50)
     p.add_argument("--width", type=int, default=128)
@@ -168,6 +177,10 @@ def parse_args(argv=None) -> DPFConfig:
     p.add_argument("--y_bins", type=float, default=256.0)
     p.add_argument("--data-path", dest="data_path", type=str,
                    default="./data/disk/TwentyfiveDistractors/")
+    p.add_argument("--num-examples", dest="num_examples", type=int,
+                   default=1000,
+                   help="train sequences to auto-generate when the dataset "
+                        "is missing (reference default: 1000)")
     p.add_argument("--mesh-data", dest="mesh_data", type=int, default=1)
     p.add_argument("--mesh-particle", dest="mesh_particle", type=int, default=1)
     p.add_argument("--compute-dtype", dest="compute_dtype", type=str, default="float32")

@@ -31,8 +31,14 @@ def get_run_id(cfg: DPFConfig) -> str:
     )
 
 
-def ensure_dataset(cfg: DPFConfig, num_examples: int = 200) -> str:
-    """Dataset filename prefix coupled to --true-pos-noise (`main.py:44`)."""
+def ensure_dataset(cfg: DPFConfig, num_examples: int | None = None) -> str:
+    """Dataset filename prefix coupled to --true-pos-noise (`main.py:44`).
+
+    Auto-generates the dataset at the reference generator's default budget
+    of 1000 train sequences (`create_dataset.py:283-326`) unless overridden
+    by --num-examples.
+    """
+    num_examples = num_examples if num_examples is not None else cfg.num_examples
     filename = f"toy_pn={cfg.true_pos_noise}_d=25_const"
     probe = os.path.join(cfg.data_path, f"{filename}0_train.npz")
     if not os.path.exists(probe):

@@ -46,6 +46,16 @@ def initialize(
     )
     if coordinator_address is None and num_processes is None:
         return  # single-process; jax auto-detects TPU pod runtimes itself
+    if coordinator_address is not None and (
+        num_processes is None or process_id is None
+    ):
+        # jax.distributed.initialize only tolerates None for these on
+        # auto-detecting runtimes (TPU pods / SLURM); fail with a clear
+        # message instead of forwarding Nones it will choke on.
+        raise ValueError(
+            "initialize(coordinator_address=...) also needs num_processes "
+            "and process_id (flags or JAX_NUM_PROCESSES/JAX_PROCESS_ID env)"
+        )
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -12,7 +12,21 @@ import os
 import time
 
 class MetricsLogger:
+    """Scalar logger.
+
+    In multi-process runs only process 0 writes (all processes see the same
+    reduced scalars, so host-0-only logging is lossless); Orbax checkpoint
+    saves stay collective by design — every process must participate.
+    """
+
     def __init__(self, log_dir: str, tensorboard: bool = True):
+        from nfdpf_tpu.parallel.distributed import is_primary
+
+        self._enabled = is_primary()
+        if not self._enabled:
+            self._jsonl = None
+            self._tb = None
+            return
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         self._tb = None
@@ -25,6 +39,8 @@ class MetricsLogger:
                 self._tb = None
 
     def scalar(self, tag: str, value: float, step: int) -> None:
+        if not self._enabled:
+            return
         self._jsonl.write(json.dumps(
             {"tag": tag, "value": float(value), "step": int(step),
              "ts": time.time()}
@@ -34,6 +50,8 @@ class MetricsLogger:
             self._tb.add_scalar(tag, float(value), step)
 
     def close(self) -> None:
+        if not self._enabled:
+            return
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

@@ -151,8 +151,7 @@ def test_cglow_nll_matches_reference(flow_depth, num_levels):
 
     np.testing.assert_allclose(np.asarray(nll), tnll.numpy(),
                                rtol=2e-4, atol=2e-4)
-    # z layouts differ (NHWC vs NCHW); compare sorted magnitudes as a cheap
-    # layout-independent fingerprint plus the exact permuted tensor.
+    # z layouts differ (NHWC vs NCHW); compare the exact permuted tensor.
     tz_nhwc = tz.permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(z), tz_nhwc, rtol=2e-4, atol=2e-4)
 
