@@ -26,6 +26,7 @@ a plain dict-of-variables pytree, so the whole filter is a pure function of
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -185,12 +186,50 @@ class DPF:
                 from nfdpf_tpu.ops.pallas.sinkhorn_pallas import (
                     ot_resample_pallas,
                 )
+                from nfdpf_tpu.parallel.mesh import DATA_AXIS, PARTICLE_AXIS
 
-                return ot_resample_pallas(
-                    particles, probs, eps=cfg.epsilon, scaling=cfg.scaling,
-                    threshold=cfg.threshold, max_iter=cfg.max_iter,
-                    convergence=cfg.sinkhorn_convergence,
-                )
+                mesh = self.mesh
+                kw = dict(eps=cfg.epsilon, scaling=cfg.scaling,
+                          threshold=cfg.threshold, max_iter=cfg.max_iter,
+                          convergence=cfg.sinkhorn_convergence)
+                if mesh is None or (
+                    mesh.shape[DATA_AXIS] == 1
+                    and mesh.shape[PARTICLE_AXIS] == 1
+                ):
+                    return ot_resample_pallas(particles, probs, **kw)
+                if mesh.shape[PARTICLE_AXIS] > 1:
+                    # the streaming kernel needs every column (particle) of
+                    # its batch rows locally; under particle sharding fall
+                    # back to the dense path, which GSPMD shards correctly
+                    # (tested in tests/test_sharding.py). Loud so large-N +
+                    # particle-sharded users know they lost the O(N·d) path.
+                    warnings.warn(
+                        "use_pallas: streaming Sinkhorn does not support a "
+                        "sharded particle axis; falling back to the dense "
+                        "GSPMD OT resampler (O(N^2) memory). Shard over "
+                        "'data' only to keep the streaming kernel.",
+                        stacklevel=2,
+                    )
+                else:
+                    # batch rows are independent: run the kernel per data
+                    # shard via shard_map, aggregating only the while-loop
+                    # stopping decision so numerics match unsharded exactly
+                    from jax.sharding import PartitionSpec as P
+
+                    if particles.shape[0] % mesh.shape[DATA_AXIS]:
+                        raise ValueError(
+                            f"batch {particles.shape[0]} not divisible by "
+                            f"data-axis size {mesh.shape[DATA_AXIS]}"
+                        )
+                    fn = jax.shard_map(
+                        lambda p, w: ot_resample_pallas(
+                            p, w, axis_name=DATA_AXIS, **kw),
+                        mesh=mesh,
+                        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                        check_vma=False,
+                    )
+                    return fn(particles, probs)
             return ot_resample(
                 particles, probs, eps=cfg.epsilon, scaling=cfg.scaling,
                 threshold=cfg.threshold, max_iter=cfg.max_iter,

@@ -32,7 +32,13 @@ Array = jax.Array
 
 BLOCK_ROWS = 512
 
-_INTERPRET = False
+_INTERPRET = False  # force-flipped by tests; CPU auto-detects (see _interp)
+
+
+def _interp() -> bool:
+    """Interpret-mode Pallas off-TPU (CPU virtual meshes, dryrun_multichip)."""
+    return _INTERPRET or jax.default_backend() != "tpu"
+
 
 
 def _round_up(x: int, m: int) -> int:
@@ -160,7 +166,7 @@ def _chain_impl(x, ctx, weights, biases, inverse):
             jax.ShapeDtypeStruct((b, n_pad, 2), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
         ),
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(xp, ctx_p, weights, biases)
     return out[:, :n, :], ld[:, 0, :n]
 

@@ -43,7 +43,12 @@ BLOCK_ROWS = 256
 BLOCK_COLS = 512
 NEG_INF = -1e30
 
-_INTERPRET = False  # flipped by tests on CPU
+_INTERPRET = False  # force-flipped by tests; CPU auto-detects (see _interp)
+
+
+def _interp() -> bool:
+    """Interpret-mode Pallas off-TPU (CPU virtual meshes, dryrun_multichip)."""
+    return _INTERPRET or jax.default_backend() != "tpu"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -142,7 +147,7 @@ def streaming_lse_multi(eps: Array, x: Array, y: Array, fs: Array) -> Array:
         out_specs=pl.BlockSpec((1, g, block_rows), lambda bi, ri: (bi, 0, ri),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, g, n_pad), jnp.float32),
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(eps2d, xp, yp, fp)
     return out[:, :, :n]
 
@@ -223,7 +228,7 @@ def _apply_impl(eps, x_rows, y_cols, values, r, c) -> Array:
         out_specs=pl.BlockSpec((1, block_rows, vd), lambda bi, ri: (bi, ri, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, vd), jnp.float32),
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(
         eps.reshape(b, 1).astype(jnp.float32),
         _pad_axis1(x_rows, n_pad),
@@ -274,12 +279,19 @@ def ot_resample_pallas(
     threshold: float = 1e-3,
     max_iter: int = 100,
     convergence: str = "all",
+    axis_name: str | None = None,
 ) -> Tuple[Array, Array, Array]:
     """ε-annealed OT resampling with streaming kernels.
 
     Semantics of ``ops.sinkhorn.ot_resample(transport_grad=False)``: the
     transport plan is fully detached; gradient reaches the particles only
     through the value operand of T@x (custom VJP above).
+
+    ``axis_name``: when run per-shard under ``shard_map`` over the batch
+    ('data') axis, the loop's stopping decision is aggregated across shards
+    so the iteration count — and therefore the numerics — match the
+    unsharded call exactly (the dense path gets this for free from GSPMD's
+    global reduction of the while-loop condition).
     """
     from nfdpf_tpu.ops.sinkhorn import diameter, max_min
 
@@ -311,6 +323,14 @@ def ot_resample_pallas(
         i, _, _, _, _, running, _ = state
         it_ok = i < max_iter - 1
         agg = jnp.all(running) if convergence == "all" else jnp.any(running)
+        if axis_name is not None:
+            # global aggregation over batch shards: 'all' = every shard's
+            # local all (pmin), 'any' = any shard's local any (pmax)
+            agg_i = agg.astype(jnp.int32)
+            agg = (
+                jax.lax.pmin(agg_i, axis_name) if convergence == "all"
+                else jax.lax.pmax(agg_i, axis_name)
+            ) > 0
         return jnp.logical_and(it_ok, agg)
 
     def body_fn(state):

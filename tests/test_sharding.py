@@ -103,3 +103,68 @@ def test_graft_entry_single_chip():
     fn, args = ge.entry()
     loss, sup, obslik = jax.jit(fn)(*args)
     assert bool(jnp.isfinite(loss))
+
+
+def test_pallas_sinkhorn_data_sharded_matches_single_device():
+    """VERDICT r1 #3: the streaming (Pallas) Sinkhorn must compose with the
+    mesh. Data-axis sharding runs the kernel per shard via shard_map with a
+    globally-aggregated stopping decision, so numerics match unsharded."""
+    cfg = _cfg(resampler_type="ot", use_pallas=True, max_iter=8,
+               ess_threshold=2.0)  # always resample: exercise OT every step
+    batch = _batch(jax.random.PRNGKey(0), cfg, batch=8)
+    key = jax.random.PRNGKey(7)
+
+    ref_engine = DPF(cfg)
+    variables = ref_engine.init(jax.random.PRNGKey(1))
+    ref_out, _, _ = jax.jit(
+        lambda v: ref_engine.filter(v, batch["image"], batch["start_state"],
+                                    batch["state"][..., 2:], key, False)
+    )(variables)
+
+    mesh = make_mesh(data=8, particle=1)
+    engine = DPF(cfg, mesh=mesh)
+    v_repl = replicate(variables, mesh)
+    b_shard = shard_batch(batch, mesh)
+    out, _, _ = jax.jit(
+        lambda v, b: engine.filter(v, b["image"], b["start_state"],
+                                   b["state"][..., 2:], key, False)
+    )(v_repl, b_shard)
+
+    np.testing.assert_allclose(
+        np.asarray(out.particles), np.asarray(ref_out.particles),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.weights), np.asarray(ref_out.weights),
+        rtol=1e-3, atol=1e-6,
+    )
+
+
+def test_pallas_sinkhorn_particle_sharded_falls_back_dense():
+    """With the particle axis sharded, use_pallas must fall back to the
+    dense GSPMD path (with a warning) and still match single-device."""
+    cfg = _cfg(resampler_type="ot", use_pallas=True, max_iter=8)
+    batch = _batch(jax.random.PRNGKey(0), cfg, batch=8)
+    key = jax.random.PRNGKey(7)
+
+    ref_engine = DPF(cfg.replace(use_pallas=False))
+    variables = ref_engine.init(jax.random.PRNGKey(1))
+    ref_out, _, _ = jax.jit(
+        lambda v: ref_engine.filter(v, batch["image"], batch["start_state"],
+                                    batch["state"][..., 2:], key, False)
+    )(variables)
+
+    mesh = make_mesh(particle=2)
+    engine = DPF(cfg, mesh=mesh)
+    v_repl = replicate(variables, mesh)
+    b_shard = shard_batch(batch, mesh)
+    with pytest.warns(UserWarning, match="streaming Sinkhorn"):
+        out, _, _ = jax.jit(
+            lambda v, b: engine.filter(v, b["image"], b["start_state"],
+                                       b["state"][..., 2:], key, False)
+        )(v_repl, b_shard)
+
+    np.testing.assert_allclose(
+        np.asarray(out.particles), np.asarray(ref_out.particles),
+        rtol=1e-4, atol=1e-4,
+    )

@@ -174,3 +174,26 @@ def test_cli_main_resume_and_pretrain_load(tmp_path, monkeypatch):
     # resume + pretrain-load fallback both exercised
     main(args + ["--resume", "--load-pretrainModel"])
     assert (run_dirs[0] / "models" / "final").is_dir()
+
+
+def test_pseudolikelihood_moves_measurement_params():
+    """VERDICT r1 #2: the SDPF pseudo-likelihood gradient must reach the
+    measurement/encoder parameters on its own (not only via the supervised
+    term) — `/root/reference/losses.py:33-112` semantics where lik terms
+    carry measurement-model gradient along the ancestor walk."""
+    cfg = _tiny_cfg(train_type="SDPF", block_length=2, labeled_ratio=0.5)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = _tiny_batch(jax.random.PRNGKey(1), cfg)
+
+    def pl_only(params):
+        _, aux = trainer._loss(params, state.rest, batch,
+                               jax.random.PRNGKey(2), True)
+        return aux["loss_pseudolik"]
+
+    g = jax.grad(pl_only)(state.params)
+    for sub in ("measurement", "encoder"):
+        leaves = jax.tree_util.tree_leaves(g[sub])
+        total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+        assert np.isfinite(total) and total > 0, (
+            f"pseudo-likelihood gradient does not reach {sub}")
