@@ -19,6 +19,7 @@ class DPFConfig:
     # --- training type (arguments.py:10-20) ---
     train_type: str = "DPF"            # DPF | SDPF | UDPF
     pretrain_ae: bool = False
+    pretrain_epochs: int = 300         # AE-pretrain epoch count (`DPFs.py:410`)
     pretrain_nfcond: bool = False
     e2e_train: bool = True
     load_pretrain_model: bool = False
@@ -123,6 +124,10 @@ def parse_args(argv=None) -> DPFConfig:
     p.add_argument("--trainType", dest="train_type", type=str, default="DPF",
                    choices=["DPF", "SDPF", "UDPF"])
     p.add_argument("--pretrain_ae", action="store_true")
+    p.add_argument("--pretrain-epochs", dest="pretrain_epochs", type=int,
+                   default=300,
+                   help="AE-pretrain epochs (the reference hardcodes 300, "
+                        "`DPFs.py:410-412`)")
     p.add_argument("--pretrain-NFcond", dest="pretrain_nfcond", action="store_true",
                    help="accepted for reference CLI parity; no effect (dead in the reference too)")
     p.add_argument("--e2e-train", dest="e2e_train", action="store_false")

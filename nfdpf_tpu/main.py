@@ -93,9 +93,10 @@ def main(argv=None) -> None:
         if cfg.pretrain_ae:
             print("pretraining autoencoder ...")
             state = trainer.pretrain_ae(
-                train_iter, state, num_epochs=300,
+                train_iter, state, num_epochs=cfg.pretrain_epochs,
                 valid_batches=val_iter,
                 ckpt_path=os.path.join(run_dir, "models", "ae_pretrain"),
+                run_dir=run_dir,
             )
         if cfg.load_pretrain_model:
             # `DPFs.py:311-315`: load the AE-pretrain checkpoint before

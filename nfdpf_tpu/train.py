@@ -300,9 +300,14 @@ class Trainer:
     def pretrain_ae(self, train_batches, state: TrainState,
                     num_epochs: int = 300, valid_batches=None,
                     ckpt_path: Optional[str] = None,
-                    logger: Optional[MetricsLogger] = None) -> TrainState:
+                    logger: Optional[MetricsLogger] = None,
+                    run_dir: Optional[str] = None) -> TrainState:
         """AE-only pretraining (`DPFs.py:231-302`): per-epoch train + val,
-        best-val checkpoint, and reload of the best weights at the end."""
+        best-val checkpoint, and reload of the best weights at the end.
+
+        When ``run_dir`` is given, a reconstruction grid of the first val
+        batch is rendered each val epoch, as the reference does
+        (`DPFs.py:262-288` → `plot.py:226-243`)."""
         ae_step = self.make_ae_pretrain_step()
         engine = self.engine
 
@@ -339,6 +344,27 @@ class Trainer:
                 val_mean = float(np.mean(vlosses))
                 if logger is not None:
                     logger.scalar("PretrainAE_loss_eval/loss", val_mean, epoch)
+                if run_dir is not None:
+                    first = next(iter(valid_batches()))
+                    frames = _frames(first)
+                    variables = _merge_variables(state.params, state.rest)
+                    recon = engine.decoder.apply(
+                        variables["decoder"],
+                        engine.encoder.apply(variables["encoder"], frames,
+                                             train=False),
+                        train=False,
+                    )
+                    b, t = first["image"].shape[:2]
+                    from nfdpf_tpu.viz import plot_obs
+
+                    os.makedirs(os.path.join(run_dir, "data"), exist_ok=True)
+                    plot_obs(
+                        np.asarray(frames).reshape(
+                            (b, t) + frames.shape[1:]),
+                        np.asarray(recon).reshape((b, t) + frames.shape[1:]),
+                        os.path.join(run_dir, "data",
+                                     f"ae_recon_epoch{epoch:03d}.png"),
+                    )
             print(f"AE pretrain epoch {epoch}: train {train_mean:.5f} "
                   f"val {val_mean:.5f}")
             if val_mean < best_val:
@@ -379,6 +405,32 @@ class Trainer:
                 pred=np.asarray(aux["predictions"]),
                 images=np.asarray(batch["image"]),
                 noise=np.asarray(out.noise),
+            )
+            # diagnostic plots from the saved test artifacts
+            # (`plot.py:6-158` views, wired here rather than offline)
+            from nfdpf_tpu import viz
+
+            data_dir = os.path.join(run_dir, "data")
+            images = np.asarray(batch["image"][0])
+            if images.dtype == np.uint8:
+                images = images.astype(np.float32) / 255.0
+            particles = np.asarray(out.particles[0])        # (T, N, d)
+            weights = np.asarray(out.weights[0])            # (T, N)
+            true_state = np.asarray(batch["state"][0])      # (T, 4)
+            pred = np.asarray(aux["predictions"][0])        # (T, 2)
+            viz.plot_state_tracking(
+                true_state, pred,
+                os.path.join(data_dir, "test_trajectory.png"),
+                width=self.config.width,
+            )
+            viz.plot_ess_tracking(
+                np.asarray(out.weights),
+                os.path.join(data_dir, "test_ess.png"),
+            )
+            viz.plot_obs_tracking(
+                images, particles[..., :2], weights, true_state, pred,
+                os.path.join(data_dir, "tracking"),
+                width=self.config.width,
             )
         mean_loss = float(np.mean(losses))
         print(f"test loss: {mean_loss:.4f}")

@@ -118,9 +118,14 @@ def test_ae_pretrain_loop_with_validation(tmp_path):
     vbatches = lambda: iter([batch])         # noqa: E731
     out = trainer.pretrain_ae(batches, state, num_epochs=2,
                               valid_batches=vbatches,
-                              ckpt_path=str(tmp_path / "ae"))
+                              ckpt_path=str(tmp_path / "ae"),
+                              run_dir=str(tmp_path / "run"))
     import os
     assert os.path.isdir(tmp_path / "ae")
+    # reconstruction grid rendered each val epoch (`DPFs.py:262-288`)
+    for epoch in (0, 1):
+        assert (tmp_path / "run" / "data"
+                / f"ae_recon_epoch{epoch:03d}.png").is_file()
 
 
 def test_fit_and_test_end_to_end(tmp_path):
@@ -144,6 +149,11 @@ def test_fit_and_test_end_to_end(tmp_path):
     loss = trainer.test(vbatches, state, run_dir)
     assert np.isfinite(loss)
     assert os.path.exists(os.path.join(run_dir, "data", "test_result.npz"))
+    # tracking/ESS/trajectory plots written from the test artifacts
+    assert os.path.exists(os.path.join(run_dir, "data", "test_trajectory.png"))
+    assert os.path.exists(os.path.join(run_dir, "data", "test_ess.png"))
+    tracking = os.path.join(run_dir, "data", "tracking")
+    assert os.path.isdir(tracking) and len(os.listdir(tracking)) > 0
 
 
 def test_cli_main_resume_and_pretrain_load(tmp_path, monkeypatch):
