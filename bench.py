@@ -28,36 +28,61 @@ NUM_PARTICLES = 100
 SEQ_LEN = 50
 
 
-def chunked_median_time(step_once, iters: int, chunk: int = 5) -> float:
-    """Median per-step time over whole timed chunks of `chunk` steps.
+def scan_step_time(trainer, state, batch, iters: int = 20,
+                   repeats: int = 3, warmup: int = 1) -> float:
+    """True per-optimizer-step time: `iters` steps run inside ONE jitted
+    ``lax.scan``, synchronised by fetching the final loss to the host.
 
-    The remote-chip tunnel injects multi-ms latency spikes that a single
-    mean-over-window absorbs; chunked medians report the steady-state rate.
-    `iters` is rounded to whole chunks (total timed steps = n_chunks*chunk);
-    when iters < 2*chunk the "median" degenerates to a single-chunk mean
-    (used only by the CPU fallback, where tunnel jitter is not a factor).
-    `step_once(i)` runs step i and returns a value to block on.
+    Timing individually dispatched steps through the remote-chip tunnel is
+    unsound in BOTH directions: ``block_until_ready`` can return before the
+    program has actually executed (a bare 8k×8k matmul "measured" 0.18 ms
+    ≈ 6 PFLOP/s that way), and any synchronised dispatch pays a ~26 ms
+    round-trip.  Looping inside the program amortises the round-trip over
+    `iters` real executions and the scalar fetch guarantees completion.
+    Returns the median per-step seconds over `repeats` scan invocations.
     """
     import jax
+    import optax
 
-    chunk = min(chunk, iters)
-    n_chunks = max(1, round(iters / chunk))
+    def one_step(st, bt, key):
+        (loss, aux), grads = jax.value_and_grad(
+            trainer._loss, has_aux=True
+        )(st.params, st.rest, bt, key, True)
+        updates, opt_state = trainer.tx.update(
+            grads, st.opt_state, st.params
+        )
+        params = optax.apply_updates(st.params, updates)
+        return st.replace(params=params, opt_state=opt_state,
+                          rest=aux["new_rest"]), loss
+
+    # the batch must be a traced ARGUMENT: closing over it would embed the
+    # frame tensor in the HLO as a constant (gigabytes of program text)
+    @jax.jit
+    def run_k(st, bt, key):
+        def body(carry, _):
+            s, ky = carry
+            ky, sub = jax.random.split(ky)
+            s, loss = one_step(s, bt, sub)
+            return (s, ky), loss
+        (st, _), losses = jax.lax.scan(body, (st, key), None, length=iters)
+        return st, losses[-1]
+
+    for i in range(warmup):
+        state, loss = run_k(state, batch, jax.random.PRNGKey(2 + i))
+        float(loss)                      # full-completion barrier
+
     times = []
-    k = 0
-    for _ in range(n_chunks):
+    for r in range(repeats):
         t0 = time.perf_counter()
-        for _ in range(chunk):
-            out = step_once(k)
-            k += 1
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / chunk)
+        state, loss = run_k(state, batch, jax.random.PRNGKey(100 + r))
+        float(loss)
+        times.append((time.perf_counter() - t0) / iters)
     times.sort()
     return times[len(times) // 2]
 
 
-def measure_jax(warmup: int = 8, iters: int = 20) -> float:
+def measure_jax(warmup: int = 1, iters: int = 20, repeats: int = 3) -> float:
     import jax
-    import jax.numpy as jnp
 
     sys.path.insert(0, REPO)
     from nfdpf_tpu.config import DPFConfig
@@ -80,22 +105,8 @@ def measure_jax(warmup: int = 8, iters: int = 20) -> float:
         "state": jax.random.normal(ks[1], (BATCH, SEQ_LEN, 4)) * 10,
         "start_state": jax.random.normal(ks[2], (BATCH, 4)) * 10,
     }
-    step = trainer.make_train_step()
-
-    # warmup: compile + let the dispatch pipeline settle (the remote-chip
-    # tunnel needs several steps before steady state)
-    for i in range(warmup):
-        state, m = step(state, batch, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(m["loss"])
-
-    holder = {"state": state}
-
-    def step_once(i):
-        holder["state"], m = step(holder["state"], batch,
-                                  jax.random.PRNGKey(100 + i))
-        return m["loss"]
-
-    dt = chunked_median_time(step_once, iters)
+    dt = scan_step_time(trainer, state, batch, iters=iters,
+                        repeats=repeats, warmup=warmup)
     return BATCH * NUM_PARTICLES * SEQ_LEN / dt
 
 
@@ -182,7 +193,8 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
         cpu_fallback = True
-    value = measure_jax(warmup=1, iters=2) if cpu_fallback else measure_jax()
+    value = (measure_jax(warmup=1, iters=2, repeats=1) if cpu_fallback
+             else measure_jax())
     try:
         baseline = measure_torch_reference()
         vs = value / baseline

@@ -35,23 +35,12 @@ def measure(cfg, batch_size, warmup, iters):
         "state": jax.random.normal(ks[1], (batch_size, t, 4)) * 10,
         "start_state": jax.random.normal(ks[2], (batch_size, 4)) * 10,
     }
-    step = trainer.make_train_step()
-    for i in range(warmup):
-        state, m = step(state, batch, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(m["loss"])
+    # in-program scan timing, shared with bench.py: the tunnel's
+    # block_until_ready is unreliable for individually dispatched steps
+    from bench import scan_step_time
 
-    # chunked-median timing (tunnel-jitter robust), shared with bench.py so
-    # the sweep matches the documented "steady-state medians" methodology
-    from bench import chunked_median_time
-
-    holder = {"state": state}
-
-    def step_once(i):
-        holder["state"], m = step(holder["state"], batch,
-                                  jax.random.PRNGKey(100 + i))
-        return m["loss"]
-
-    dt = chunked_median_time(step_once, iters)
+    dt = scan_step_time(trainer, state, batch, iters=iters, repeats=3,
+                        warmup=warmup)
     return batch_size * cfg.num_particles * t / dt, dt
 
 
@@ -62,7 +51,7 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--seq-len", type=int, default=50)
     p.add_argument("--iters", type=int, default=10)
-    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--resampler", default="ot", choices=["ot", "soft"])
     p.add_argument("--dtypes", nargs="+", default=["float32", "bfloat16"])
     p.add_argument("--pallas-above", type=int, default=4096,

@@ -57,6 +57,10 @@ def main() -> None:
                    help="AE pretraining epochs before e2e (`DPFs.py:410-412`)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--seed", type=int, default=2)
+    p.add_argument("--epsilon", type=float, default=0.1,
+                   help="OT entropic regularisation (`arguments.py:27`)")
+    p.add_argument("--ess-threshold", type=float, default=0.5,
+                   help="resample when ESS < thr*N (`DPFs.py:165`)")
     args = p.parse_args()
 
     import jax
@@ -105,11 +109,12 @@ def main() -> None:
         batch_size=args.batch, init_with_true_state=args.init_true,
         train_type=args.train_type, labeled_ratio=args.labeled_ratio,
         lr=args.lr, seed=args.seed,
+        epsilon=args.epsilon, ess_threshold=args.ess_threshold,
         **CONFIGS[args.config],
     )
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
-    train_step = trainer.make_train_step()
+    train_epoch = trainer.make_train_epoch()
     eval_step = trainer.make_eval_step()
 
     n_train = len(train_ds)
@@ -131,13 +136,14 @@ def main() -> None:
             if epoch % 10 == 0 or epoch == args.pretrain_epochs - 1:
                 print(f"AE pretrain epoch {epoch}: {float(ae_loss):.5f} "
                       f"[{time.time()-t_start:.0f}s]", flush=True)
+    steps = n_train // args.batch
     for epoch in range(args.epochs):
         order = rng.permutation(n_train)
-        for lo in range(0, n_train - args.batch + 1, args.batch):
-            idx = jnp.asarray(order[lo:lo + args.batch])
-            batch = {k: v[idx] for k, v in train_dev.items()}
-            key, sub = jax.random.split(key)
-            state, m = train_step(state, batch, sub)
+        idx = jnp.asarray(
+            order[: steps * args.batch].reshape(steps, args.batch))
+        key, sub = jax.random.split(key)
+        # whole epoch in one jitted program (one tunnel dispatch)
+        state, m = train_epoch(state, train_dev, idx, sub)
         # eval on the full val set in fixed-size chunks
         evals = []
         n_val = val_dev["image"].shape[0]
@@ -155,6 +161,8 @@ def main() -> None:
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
         with open(args.out, "w") as f:
             json.dump({"config": args.config, "epochs": epoch + 1,
+                       "epsilon": args.epsilon,
+                       "ess_threshold": args.ess_threshold,
                        "train_type": args.train_type,
                        "labeled_ratio": args.labeled_ratio,
                        "particles": args.particles,

@@ -6,7 +6,11 @@ are NHWC (XLA's preferred conv layout on TPU) — the reference's NCHW permute
 f32) via ``compute_dtype``; the MXU does the heavy lifting either way.
 
 Layer order matches the reference exactly: Conv → ReLU → BatchNorm
-(`model/models.py:12-14`).  BatchNorm batch statistics are computed over
+(`model/models.py:12-14`), with torch's running-stat decay (momentum=0.9 in
+Flax terms = `torch.nn.BatchNorm2d` default momentum 0.1) — Flax's 0.99
+default makes eval stats lag ~100 steps behind the weights, visibly
+inflating val RMSE on short training budgets.
+BatchNorm batch statistics are computed over
 whatever leading batch the encoder is applied to; the filter engine applies
 the encoder ONCE over all (B·T) frames instead of per-step over B frames
 (documented deviation — one big MXU-friendly conv launch instead of T small
@@ -41,7 +45,7 @@ class ObservationEncoder(nn.Module):
             x = nn.Conv(feats, (4, 4), strides=2, padding=[(1, 1), (1, 1)],
                         use_bias=False, dtype=self.compute_dtype)(x)
             x = nn.relu(x)
-            x = nn.BatchNorm(use_running_average=not train,
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.compute_dtype)(x)
         x = x.reshape(x.shape[:-3] + (-1,))
         x = nn.Dense(self.out_features, dtype=self.compute_dtype)(x)
@@ -67,11 +71,11 @@ class ObservationDecoder(nn.Module):
             x = nn.ConvTranspose(feats, (4, 4), strides=(2, 2), padding="SAME",
                                  use_bias=False, dtype=self.compute_dtype)(x)
             x = nn.relu(x)
-            x = nn.BatchNorm(use_running_average=not train,
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.compute_dtype)(x)
         x = nn.ConvTranspose(3, (4, 4), strides=(2, 2), padding="SAME",
                              use_bias=False, dtype=self.compute_dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.compute_dtype)(x)
         return nn.sigmoid(x).astype(jnp.float32)
 

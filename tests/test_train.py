@@ -207,3 +207,38 @@ def test_pseudolikelihood_moves_measurement_params():
         total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
         assert np.isfinite(total) and total > 0, (
             f"pseudo-likelihood gradient does not reach {sub}")
+
+
+def test_train_epoch_matches_sequential_steps():
+    """The jit-fused epoch (one `lax.scan` over device-side batch gathers)
+    must produce the same parameters as dispatching the steps one by one."""
+    cfg = _tiny_cfg()
+    trainer = Trainer(cfg)
+    t = cfg.sequence_length
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 3)
+    data = {
+        "image": jax.random.uniform(ks[0], (6, t, 128, 128, 3)),
+        "state": jax.random.normal(ks[1], (6, t, 4)) * 10,
+        "start_state": jax.random.normal(ks[2], (6, 4)) * 10,
+    }
+    idx = jnp.asarray([[0, 3], [4, 1], [2, 5]])
+
+    state_a = trainer.init_state(jax.random.PRNGKey(0))
+    epoch_fn = trainer.make_train_epoch()
+    state_a, metrics = epoch_fn(state_a, data, idx, jax.random.PRNGKey(7))
+    assert bool(jnp.isfinite(metrics["loss"]))
+
+    state_b = trainer.init_state(jax.random.PRNGKey(0))
+    step = trainer.make_train_step()
+    k = jax.random.PRNGKey(7)
+    for ids in np.asarray(idx):
+        batch = {kk: v[jnp.asarray(ids)] for kk, v in data.items()}
+        k, sub = jax.random.split(k)
+        state_b, _ = step(state_b, batch, sub)
+
+    pa = jax.tree_util.tree_leaves(state_a.params)
+    pb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
