@@ -59,6 +59,8 @@ def main() -> None:
         }
 
     def measure(mesh):
+        from bench import scan_step_time
+
         trainer = Trainer(cfg, mesh=mesh)
         state = trainer.init_state(jax.random.PRNGKey(0))
         b = args.batch
@@ -66,15 +68,11 @@ def main() -> None:
         if mesh is not None:
             state = replicate(state, mesh)
             batch = shard_batch(batch, mesh)
-        step = trainer.make_train_step()
-        for i in range(3):
-            state, m = step(state, batch, jax.random.PRNGKey(2 + i))
-        jax.block_until_ready(m["loss"])
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            state, m = step(state, batch, jax.random.PRNGKey(100 + i))
-        jax.block_until_ready(m["loss"])
-        dt = (time.perf_counter() - t0) / args.iters
+        # in-program scan timing (see bench.py: per-dispatch timing is
+        # unsound through the remote-chip tunnel; on local CPU it just
+        # amortises dispatch overhead)
+        dt = scan_step_time(trainer, state, batch, iters=args.iters,
+                            repeats=2, warmup=1)
         return b * cfg.num_particles * cfg.sequence_length / dt
 
     results = {}

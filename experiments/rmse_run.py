@@ -57,6 +57,9 @@ def main() -> None:
                    help="AE pretraining epochs before e2e (`DPFs.py:410-412`)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--seed", type=int, default=2)
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="conv/matmul compute dtype (bf16 is ~1.4x faster)")
     p.add_argument("--epsilon", type=float, default=0.1,
                    help="OT entropic regularisation (`arguments.py:27`)")
     p.add_argument("--ess-threshold", type=float, default=0.5,
@@ -110,6 +113,7 @@ def main() -> None:
         train_type=args.train_type, labeled_ratio=args.labeled_ratio,
         lr=args.lr, seed=args.seed,
         epsilon=args.epsilon, ess_threshold=args.ess_threshold,
+        compute_dtype=args.compute_dtype,
         **CONFIGS[args.config],
     )
     trainer = Trainer(cfg)
