@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from nfdpf_tpu.ops import linalg
+
 Array = jax.Array
 
 
@@ -225,9 +227,11 @@ class Cond1x1Conv(nn.Module):
         c = self.y_channels
         weight = self.net(x).reshape(x.shape[0], c, c)   # (B, out k, in i)
         dims = y.shape[-3] * y.shape[-2]
-        dlogdet = jnp.linalg.slogdet(weight)[1] * dims
+        # TPU-native batched log|det| / inverse: jnp.linalg's pivoted LU is
+        # serial on TPU and was ~90% of the whole CGLOW step (ops/linalg.py).
+        dlogdet = linalg.logabsdet(weight) * dims
         if reverse:
-            weight = jnp.linalg.inv(weight)
+            weight = linalg.inv(weight)
             dlogdet = -dlogdet
         z = jnp.einsum("bhwi,bki->bhwk", y, weight)
         return z, logdet + dlogdet

@@ -1,0 +1,114 @@
+"""Batched small-matrix linear algebra, TPU-native.
+
+``jnp.linalg.slogdet`` / ``inv`` lower to a pivoted LU factorisation that is
+serial and scalar-heavy on TPU: on a v5e, slogdet over (3200, 12, 12) costs
+~11 ms — it singlehandedly dominated the CGLOW measurement step
+(`Cond1x1Conv`, reference semantics `nf/cglow/modules.py:165-182`).
+
+These replacements unroll Gaussian elimination over the (small, static)
+matrix dimension; every step is a batched elementwise/broadcast op the VPU
+eats for free, and the whole thing costs O(n) fused (B, n, n) updates.
+Partial pivoting keeps the numerics LAPACK-grade for the well-conditioned
+matrices the flows generate.
+
+Gradients are supplied analytically via ``custom_vjp`` (d log|det W| = W^-T,
+d inv = -Y^T ḡ Y^T), so the unrolled elimination is never differentiated
+through.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _pivot_swap(A: Array, k: int) -> tuple[Array, Array]:
+    """Swap row k with the max-|A[:, k:, k]| row, batched. Returns (A, pivot).
+
+    A may be an augmented (B, n, m>=n) matrix; rows are counted on axis -2.
+    """
+    n = A.shape[-2]
+    rows = jnp.arange(n)
+    col = jnp.abs(A[..., :, k])
+    col = jnp.where(rows >= k, col, -jnp.inf)           # only rows >= k eligible
+    p = jnp.argmax(col, axis=-1)                        # (B,)
+    row_k = A[..., k, :]                                # (B, n)
+    row_p = jnp.take_along_axis(A, p[..., None, None], axis=-2)[..., 0, :]
+    # put old row k where row p was, then overwrite row k with the pivot row
+    is_p = (rows[..., :, None] == p[..., None, None])   # (B, n, 1)
+    A = jnp.where(is_p, row_k[..., None, :], A)
+    A = A.at[..., k, :].set(row_p)
+    return A, A[..., k, k]
+
+
+def _logabsdet_fwd_impl(W: Array) -> Array:
+    n = W.shape[-1]
+    A = W
+    logdet = jnp.zeros(W.shape[:-2], W.dtype)
+    rows = jnp.arange(n)
+    for k in range(n):
+        A, pivot = _pivot_swap(A, k)
+        logdet = logdet + jnp.log(jnp.abs(pivot))
+        factors = A[..., :, k] / pivot[..., None]       # (B, n)
+        factors = jnp.where(rows > k, factors, 0.0)
+        A = A - factors[..., :, None] * A[..., k:k + 1, :]
+    return logdet
+
+
+def _inv_impl(W: Array) -> Array:
+    """Batched Gauss-Jordan inverse with partial pivoting, unrolled over n."""
+    n = W.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=W.dtype), W.shape)
+    A = jnp.concatenate([W, eye], axis=-1)              # (B, n, 2n) augmented
+    rows = jnp.arange(n)
+    for k in range(n):
+        A, pivot = _pivot_swap(A, k)
+        row_k = A[..., k, :] / pivot[..., None]         # normalised pivot row
+        A = A.at[..., k, :].set(row_k)
+        factors = A[..., :, k]
+        factors = jnp.where(rows != k, factors, 0.0)    # eliminate all other rows
+        A = A - factors[..., :, None] * row_k[..., None, :]
+    return A[..., :, n:]
+
+
+@jax.custom_vjp
+def logabsdet(W: Array) -> Array:
+    """log|det W| over the last two axes (= ``jnp.linalg.slogdet(W)[1]``)."""
+    return _logabsdet_fwd_impl(W)
+
+
+def _logabsdet_fwd(W):
+    return _logabsdet_fwd_impl(W), W
+
+
+def _logabsdet_bwd(W, g):
+    # d log|det W| / dW = inv(W)^T
+    WinvT = jnp.swapaxes(_inv_impl(W), -1, -2)
+    return (g[..., None, None] * WinvT,)
+
+
+logabsdet.defvjp(_logabsdet_fwd, _logabsdet_bwd)
+
+
+@jax.custom_vjp
+def inv(W: Array) -> Array:
+    """Batched matrix inverse over the last two axes (= ``jnp.linalg.inv``)."""
+    return _inv_impl(W)
+
+
+def _inv_fwd(W):
+    Y = _inv_impl(W)
+    return Y, Y
+
+
+def _inv_bwd(Y, g):
+    # d inv: vjp(ḡ) = -Y^T ḡ Y^T
+    YT = jnp.swapaxes(Y, -1, -2)
+    return (-YT @ g @ YT,)
+
+
+inv.defvjp(_inv_fwd, _inv_bwd)
