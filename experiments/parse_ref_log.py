@@ -24,6 +24,13 @@ for line in open(args.log):
     if m:
         test = float(m.group(1))
 
+if not val:
+    raise SystemExit(
+        f"{args.log}: no validation-loss lines parsed — the reference run "
+        "likely crashed before its first eval; check the log tail")
+if test is None:
+    print(f"WARNING: {args.log}: no test-loss line found (run incomplete?)")
+
 out = {
     "config": "bootstrap", "framework": "pytorch-reference",
     "seed": args.seed, "epochs": len(val),

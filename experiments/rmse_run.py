@@ -141,6 +141,10 @@ def main() -> None:
                 print(f"AE pretrain epoch {epoch}: {float(ae_loss):.5f} "
                       f"[{time.time()-t_start:.0f}s]", flush=True)
     steps = n_train // args.batch
+    assert steps >= 1, (
+        f"dataset ({n_train} sequences) smaller than batch size "
+        f"({args.batch}); lax.scan would run zero steps and the epoch "
+        f"metrics would be silent NaNs — lower --batch")
     for epoch in range(args.epochs):
         order = rng.permutation(n_train)
         idx = jnp.asarray(

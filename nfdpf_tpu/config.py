@@ -107,6 +107,9 @@ class DPFConfig:
     compute_dtype: str = "float32"     # float32 | bfloat16 for conv/matmul compute
     use_pallas: bool = False           # route hot ops through Pallas kernels
     remat_scan_step: bool = False      # jax.checkpoint each filter step (BPTT memory)
+    torch_init: bool = False           # torch-default U(±1/√fan_in) init for the
+                                       # encoder/decoder/particle-enc Dense+Conv
+                                       # layers (head-to-head init parity)
 
     @property
     def glow_ctx_features(self) -> int:
@@ -190,6 +193,7 @@ def parse_args(argv=None) -> DPFConfig:
     p.add_argument("--mesh-particle", dest="mesh_particle", type=int, default=1)
     p.add_argument("--compute-dtype", dest="compute_dtype", type=str, default="float32")
     p.add_argument("--use-pallas", dest="use_pallas", action="store_true")
+    p.add_argument("--torch-init", dest="torch_init", action="store_true")
     p.add_argument("--remat", dest="remat_scan_step", action="store_true")
     ns = p.parse_args(argv)
     return DPFConfig(**{f.name: getattr(ns, f.name)

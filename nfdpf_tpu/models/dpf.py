@@ -107,8 +107,10 @@ class DPF:
         cglow = config.measurement == "CGLOW"
         self.enc_features = config.glow_ctx_features if cglow else config.hidden_size
         dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
-        self.encoder = ObservationEncoder(self.enc_features, compute_dtype=dtype)
-        self.decoder = ObservationDecoder(self.enc_features, compute_dtype=dtype)
+        self.encoder = ObservationEncoder(self.enc_features, compute_dtype=dtype,
+                                          torch_init=config.torch_init)
+        self.decoder = ObservationDecoder(self.enc_features, compute_dtype=dtype,
+                                          torch_init=config.torch_init)
         # nf_dyn ctx = mean‖std = 2·state_dim (`DPFs.py:71`);
         # cond_model ctx = enc ‖ mean ‖ std (`DPFs.py:72` uses hidden_size; we
         # use the actual encoder width so CGLOW+NF-cond also composes).

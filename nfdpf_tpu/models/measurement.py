@@ -33,9 +33,11 @@ class CosineMeasurement(nn.Module):
     """``log 1/(1e-7 + cos-distance)`` (`model/models.py:206-219`)."""
 
     hidden_size: int = 32
+    torch_init: bool = False
 
     def setup(self):
-        self.particle_encoder = ParticleEncoder(out_features=self.hidden_size)
+        self.particle_encoder = ParticleEncoder(
+            out_features=self.hidden_size, torch_init=self.torch_init)
 
     def __call__(self, encodings: Array, particles: Array) -> Array:
         e_state = self.particle_encoder(particles)            # (B, N, h)
@@ -48,10 +50,12 @@ class NNMeasurement(nn.Module):
     """Sigmoid MLP on concatenated encodings (`model/models.py:221-235`)."""
 
     hidden_size: int = 32
+    torch_init: bool = False
 
     def setup(self):
-        self.particle_encoder = ParticleEncoder(out_features=self.hidden_size)
-        self.likelihood_net = LikelihoodNet()
+        self.particle_encoder = ParticleEncoder(
+            out_features=self.hidden_size, torch_init=self.torch_init)
+        self.likelihood_net = LikelihoodNet(torch_init=self.torch_init)
 
     def __call__(self, encodings: Array, particles: Array) -> Array:
         e_state = self.particle_encoder(particles)
@@ -69,9 +73,11 @@ class GaussianMeasurement(nn.Module):
     hidden_size: int = 32
     mean: float = 1.0
     variance: float = 100.0
+    torch_init: bool = False
 
     def setup(self):
-        self.particle_encoder = ParticleEncoder(out_features=self.hidden_size)
+        self.particle_encoder = ParticleEncoder(
+            out_features=self.hidden_size, torch_init=self.torch_init)
 
     def __call__(self, encodings: Array, particles: Array) -> Array:
         e_state = self.particle_encoder(particles)
@@ -95,9 +101,11 @@ class CRNVPMeasurement(nn.Module):
     hidden_size: int = 32
     n_sequence: int = 2
     flow_hidden_dim: int = 8
+    torch_init: bool = False
 
     def setup(self):
-        self.particle_encoder = ParticleEncoder(out_features=self.hidden_size)
+        self.particle_encoder = ParticleEncoder(
+            out_features=self.hidden_size, torch_init=self.torch_init)
         self.cnf = realnvp_chain(
             n_blocks=self.n_sequence, dim=self.hidden_size,
             hidden_dim=self.flow_hidden_dim, init_std=0.01, prior_std=2.5,
@@ -122,7 +130,8 @@ class CGlowMeasurement(nn.Module):
 
     def setup(self):
         self.particle_encoder = ParticleEncoder(
-            out_features=self.config.glow_ctx_features
+            out_features=self.config.glow_ctx_features,
+            torch_init=self.config.torch_init,
         )
         self.cglow = CondGlowModel(
             x_size=self.config.x_size,
@@ -152,15 +161,19 @@ def build_measurement_model(config: DPFConfig) -> nn.Module:
     """Dispatch on `--measurement` (`DPFs.py:74-89`)."""
     kind = config.measurement
     if kind == "cos":
-        return CosineMeasurement(hidden_size=config.hidden_size)
+        return CosineMeasurement(hidden_size=config.hidden_size,
+                                 torch_init=config.torch_init)
     if kind == "NN":
-        return NNMeasurement(hidden_size=config.hidden_size)
+        return NNMeasurement(hidden_size=config.hidden_size,
+                             torch_init=config.torch_init)
     if kind == "gaussian":
-        return GaussianMeasurement(hidden_size=config.hidden_size)
+        return GaussianMeasurement(hidden_size=config.hidden_size,
+                                   torch_init=config.torch_init)
     if kind == "CRNVP":
         return CRNVPMeasurement(
             hidden_size=config.hidden_size, n_sequence=config.n_sequence,
             flow_hidden_dim=config.flow_hidden_dim,
+            torch_init=config.torch_init,
         )
     if kind == "CGLOW":
         return CGlowMeasurement(config=config)

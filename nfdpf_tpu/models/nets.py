@@ -28,6 +28,34 @@ from flax import linen as nn
 Array = jax.Array
 
 
+def torch_uniform(bound: float):
+    """U(±bound) initializer.
+
+    torch's default ``nn.Linear``/``nn.Conv2d`` init is
+    ``kaiming_uniform_(a=√5)`` for the weight and ``U(±1/√fan_in)`` for the
+    bias; with a=√5 the weight bound √(6/((1+a²)·fan_in)) also reduces to
+    1/√fan_in.  The reference inherits these defaults everywhere
+    (`model/models.py:10-159`), whereas Flax defaults to lecun-normal
+    kernels and zero biases — an init-distribution gap that dominates
+    short-budget training (round-2 head-to-head).
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(
+            key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+def _dense(feats, fan_in, torch_init, dtype=None):
+    """Dense layer whose init matches torch ``nn.Linear`` when requested."""
+    if torch_init:
+        b = float(fan_in) ** -0.5
+        return nn.Dense(feats, dtype=dtype, kernel_init=torch_uniform(b),
+                        bias_init=torch_uniform(b))
+    return nn.Dense(feats, dtype=dtype)
+
+
 class ObservationEncoder(nn.Module):
     """5× (Conv k4 s2 p1 → ReLU → BN) 3→16→32→64→128→256 over 128²→4²,
     flatten, Dense→out_features (`model/models.py:10-60`).
@@ -37,18 +65,25 @@ class ObservationEncoder(nn.Module):
 
     out_features: int = 32
     compute_dtype: Any = jnp.float32
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
         x = x.astype(self.compute_dtype)
+        in_feats = 3
         for feats in (16, 32, 64, 128, 256):
+            kw = {}
+            if self.torch_init:  # torch Conv2d fan_in = in_ch·kh·kw
+                kw["kernel_init"] = torch_uniform((in_feats * 16) ** -0.5)
             x = nn.Conv(feats, (4, 4), strides=2, padding=[(1, 1), (1, 1)],
-                        use_bias=False, dtype=self.compute_dtype)(x)
+                        use_bias=False, dtype=self.compute_dtype, **kw)(x)
             x = nn.relu(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.compute_dtype)(x)
+            in_feats = feats
         x = x.reshape(x.shape[:-3] + (-1,))
-        x = nn.Dense(self.out_features, dtype=self.compute_dtype)(x)
+        x = _dense(self.out_features, 256 * 4 * 4, self.torch_init,
+                   dtype=self.compute_dtype)(x)
         return x.astype(jnp.float32)
 
 
@@ -61,20 +96,31 @@ class ObservationDecoder(nn.Module):
 
     in_features: int = 32
     compute_dtype: Any = jnp.float32
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, z: Array, train: bool = True) -> Array:
         z = z.astype(self.compute_dtype)
-        x = nn.Dense(256 * 4 * 4, dtype=self.compute_dtype)(z)
+        x = _dense(256 * 4 * 4, self.in_features, self.torch_init,
+                   dtype=self.compute_dtype)(z)
         x = x.reshape(x.shape[:-1] + (4, 4, 256))
+
+        def deconv(feats):
+            kw = {}
+            if self.torch_init:
+                # torch ConvTranspose2d weight is (in, out, kh, kw) and
+                # fan_in is computed from dim 1 ⇒ fan_in = out_ch·kh·kw
+                kw["kernel_init"] = torch_uniform((feats * 16) ** -0.5)
+            return nn.ConvTranspose(
+                feats, (4, 4), strides=(2, 2), padding="SAME",
+                use_bias=False, dtype=self.compute_dtype, **kw)
+
         for feats in (128, 64, 32, 16):
-            x = nn.ConvTranspose(feats, (4, 4), strides=(2, 2), padding="SAME",
-                                 use_bias=False, dtype=self.compute_dtype)(x)
+            x = deconv(feats)(x)
             x = nn.relu(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.compute_dtype)(x)
-        x = nn.ConvTranspose(3, (4, 4), strides=(2, 2), padding="SAME",
-                             use_bias=False, dtype=self.compute_dtype)(x)
+        x = deconv(3)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.compute_dtype)(x)
         return nn.sigmoid(x).astype(jnp.float32)
@@ -86,27 +132,32 @@ class ParticleEncoder(nn.Module):
     on (B, N, d) without the reference's flatten."""
 
     out_features: int = 32
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, s: Array) -> Array:
-        s = nn.Dense(16)(s)
+        d = s.shape[-1]
+        s = _dense(16, d, self.torch_init)(s)
         s = nn.relu(s)
-        s = nn.Dense(32)(s)
+        s = _dense(32, 16, self.torch_init)(s)
         s = nn.relu(s)
-        return nn.Dense(self.out_features)(s)
+        return _dense(self.out_features, 32, self.torch_init)(s)
 
 
 class LikelihoodNet(nn.Module):
     """MLP 2·hidden→64→64→1 + Sigmoid for `--measurement NN`
     (`model/models.py:119-128`)."""
 
+    torch_init: bool = False
+
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.Dense(64)(x)
+        d = x.shape[-1]
+        x = _dense(64, d, self.torch_init)(x)
         x = nn.relu(x)
-        x = nn.Dense(64)(x)
+        x = _dense(64, 64, self.torch_init)(x)
         x = nn.relu(x)
-        x = nn.Dense(1)(x)
+        x = _dense(1, 64, self.torch_init)(x)
         return nn.sigmoid(x)
 
 

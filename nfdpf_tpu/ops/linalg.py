@@ -13,7 +13,15 @@ matrices the flows generate.
 
 Gradients are supplied analytically via ``custom_vjp`` (d log|det W| = W^-T,
 d inv = -Y^T ḡ Y^T), so the unrolled elimination is never differentiated
-through.
+through.  NOTE: ``custom_vjp`` makes these reverse-mode-only — forward-mode
+(``jax.jvp`` / ``jacfwd``) through ``logabsdet``/``inv`` raises.  Nothing in
+this repo uses forward-mode; switch to ``jax.custom_jvp`` if that changes.
+
+Precision: the reference computes the Cond1x1Conv reverse-path inverse in
+float64 (`nf/cglow/modules.py:182` — ``torch.inverse(weight.double())``);
+TPUs have no f64, so ``inv`` runs f32 Gauss-Jordan followed by one Newton
+refinement step (Y ← Y(2I − WY)), which squares the residual and recovers
+most of the headroom for near-singular conditioning weights.
 """
 
 from __future__ import annotations
@@ -24,6 +32,11 @@ import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+# All matmuls here are tiny (n≤12) refinement/gradient contractions where
+# TPU's default bf16 matmul precision would amplify error by the condition
+# number — force full f32 (HIGHEST = 6-pass bf16 on TPU, exact f32 elsewhere).
+_mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
 def _pivot_swap(A: Array, k: int) -> tuple[Array, Array]:
@@ -72,7 +85,9 @@ def _inv_impl(W: Array) -> Array:
         factors = A[..., :, k]
         factors = jnp.where(rows != k, factors, 0.0)    # eliminate all other rows
         A = A - factors[..., :, None] * row_k[..., None, :]
-    return A[..., :, n:]
+    Y = A[..., :, n:]
+    # one Newton iteration: squares the f32 residual (ref uses f64 here)
+    return _mm(Y, 2.0 * eye - _mm(W, Y))
 
 
 @jax.custom_vjp
@@ -108,7 +123,7 @@ def _inv_fwd(W):
 def _inv_bwd(Y, g):
     # d inv: vjp(ḡ) = -Y^T ḡ Y^T
     YT = jnp.swapaxes(Y, -1, -2)
-    return (-YT @ g @ YT,)
+    return (-_mm(_mm(YT, g), YT),)
 
 
 inv.defvjp(_inv_fwd, _inv_bwd)

@@ -226,6 +226,7 @@ class Trainer:
                     "loss_sup": aux["loss_sup"],
                     "loss_ae": aux["loss_ae"],
                     "loss_pseudolik": aux["loss_pseudolik"],
+                    "obs_likelihood": aux["obs_likelihood"],
                 }
             (state, _), metrics = jax.lax.scan(body, (state, key), idx)
             return state, jax.tree_util.tree_map(jnp.mean, metrics)

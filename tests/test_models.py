@@ -107,3 +107,41 @@ def test_cglow_logdet_consistency():
     z, ld_enc = model.apply(v, x, y, jnp.zeros(2), method=model.encode)
     _, ld_dec = model.apply(v, x, z, jnp.zeros(2), method=model.decode)
     np.testing.assert_allclose(np.asarray(ld_enc + ld_dec), 0.0, atol=1e-3)
+
+
+def test_torch_init_matches_torch_defaults():
+    """--torch-init must reproduce torch's kaiming_uniform(a=√5) bounds:
+    U(±1/√fan_in) for Dense/Conv kernels AND Dense biases
+    (`model/models.py:10-159` inherits these torch defaults)."""
+    from nfdpf_tpu.models.nets import (
+        ObservationDecoder,
+        ObservationEncoder,
+        ParticleEncoder,
+    )
+
+    enc = ObservationEncoder(32, torch_init=True)
+    v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)),
+                 train=False)
+    k0 = v["params"]["Conv_0"]["kernel"]          # fan_in = 3·4·4 = 48
+    assert float(jnp.abs(k0).max()) <= 48 ** -0.5 + 1e-7
+    assert float(jnp.abs(k0).max()) > 0.8 * 48 ** -0.5   # uniform, not normal
+    d0 = v["params"]["Dense_0"]
+    bound = (256 * 16) ** -0.5
+    assert float(jnp.abs(d0["kernel"]).max()) <= bound + 1e-7
+    assert float(jnp.abs(d0["bias"]).max()) <= bound + 1e-7
+    assert float(jnp.abs(d0["bias"]).max()) > 0.0        # torch bias ≠ zeros
+
+    dec = ObservationDecoder(32, torch_init=True)
+    vd = dec.init(jax.random.PRNGKey(0), jnp.zeros((1, 32)), train=False)
+    ct = vd["params"]["ConvTranspose_0"]["kernel"]  # torch fan_in = out·kh·kw
+    assert float(jnp.abs(ct).max()) <= (128 * 16) ** -0.5 + 1e-7
+
+    pe = ParticleEncoder(32, torch_init=True)
+    vp = pe.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 2)))
+    assert float(jnp.abs(vp["params"]["Dense_0"]["kernel"]).max()) <= 2 ** -0.5
+
+    # param pytree identical to the default init (same layer names/shapes)
+    v_def = ObservationEncoder(32).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False)
+    assert (jax.tree_util.tree_structure(v_def)
+            == jax.tree_util.tree_structure(v))
