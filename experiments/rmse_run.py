@@ -57,6 +57,8 @@ def main() -> None:
                    help="AE pretraining epochs before e2e (`DPFs.py:410-412`)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--seed", type=int, default=2)
+    p.add_argument("--torch-init", action="store_true",
+                   help="torch-default U(±1/√fan_in) init (h2h init parity)")
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="conv/matmul compute dtype (bf16 is ~1.4x faster)")
@@ -113,7 +115,7 @@ def main() -> None:
         train_type=args.train_type, labeled_ratio=args.labeled_ratio,
         lr=args.lr, seed=args.seed,
         epsilon=args.epsilon, ess_threshold=args.ess_threshold,
-        compute_dtype=args.compute_dtype,
+        compute_dtype=args.compute_dtype, torch_init=args.torch_init,
         **CONFIGS[args.config],
     )
     trainer = Trainer(cfg)
@@ -175,6 +177,8 @@ def main() -> None:
                        "labeled_ratio": args.labeled_ratio,
                        "particles": args.particles,
                        "init_with_true_state": args.init_true,
+                       "torch_init": args.torch_init,
+                       "seed": args.seed,
                        "val_rmse_per_epoch": history,
                        "best_val_rmse": min(history),
                        "wall_seconds": time.time() - t_start}, f, indent=2)

@@ -241,29 +241,39 @@ def _apply_impl(eps, x_rows, y_cols, values, r, c) -> Array:
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())
-def streaming_transport_apply(values, eps, scaled_x, r, c):
-    """out = T @ values with implicit T_ij = exp(r_i + c_j − C_ij(x̂)/ε).
+def transport_apply_rc(values, eps, x_rows, y_cols, r, c):
+    """out = T @ values with implicit T_ij = exp(r_i + c_j − C_ij/ε),
+    C_ij = ½‖x_rows_i − y_cols_j‖², with separate row/column point sets
+    (the particle-sharded case: rows local to the shard, columns gathered).
 
     Differentiable in ``values`` only (grad = Tᵀ @ g, streamed); all other
     inputs are treated as constants — the reference's exact gradient
     topology (`resamplers.py:234-245,256`).
     """
-    return _apply_impl(eps, scaled_x, scaled_x, values, r, c)
+    return _apply_impl(eps, x_rows, y_cols, values, r, c)
 
 
-def _sta_fwd(values, eps, scaled_x, r, c):
-    out = _apply_impl(eps, scaled_x, scaled_x, values, r, c)
-    return out, (eps, scaled_x, r, c)
+def _rc_fwd(values, eps, x_rows, y_cols, r, c):
+    out = _apply_impl(eps, x_rows, y_cols, values, r, c)
+    return out, (eps, x_rows, y_cols, r, c)
 
 
-def _sta_bwd(res, g):
-    eps, scaled_x, r, c = res
-    # (Tᵀ g)_j = Σ_i exp(c_j + r_i − C_ij/ε) g_i  — same kernel, roles swapped
-    grad_values = _apply_impl(eps, scaled_x, scaled_x, g, c, r)
-    return grad_values, None, None, None, None
+def _rc_bwd(res, g):
+    eps, x_rows, y_cols, r, c = res
+    # (Tᵀ g)_j = Σ_i exp(c_j + r_i − C_ij/ε) g_i  — same kernel, roles
+    # swapped.  Under particle sharding this is the shard-local partial
+    # over rows i; the enclosing (differentiable) all_gather's transpose
+    # psum-scatters the partials into the exact global gradient.
+    grad_values = _apply_impl(eps, y_cols, x_rows, g, c, r)
+    return grad_values, None, None, None, None, None
 
 
-streaming_transport_apply.defvjp(_sta_fwd, _sta_bwd)
+transport_apply_rc.defvjp(_rc_fwd, _rc_bwd)
+
+
+def streaming_transport_apply(values, eps, scaled_x, r, c):
+    """Self-transport wrapper (rows = columns = scaled_x)."""
+    return transport_apply_rc(values, eps, scaled_x, scaled_x, r, c)
 
 
 # ---------------------------------------------------------------------------
@@ -382,4 +392,158 @@ def ot_resample_pallas(
     transported = streaming_transport_apply(particles, eps_b, scaled_x, r, c)
     uniform = jnp.full_like(probs, 1.0 / n)
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
+    return transported, uniform, idx
+
+
+# ---------------------------------------------------------------------------
+# particle-sharded resampler (shard_map body)
+# ---------------------------------------------------------------------------
+
+
+def ot_resample_pallas_sharded(
+    particles: Array,
+    probs: Array,
+    *,
+    particle_axis: str,
+    data_axis: str | None = None,
+    eps: float = 0.1,
+    scaling: float = 0.75,
+    threshold: float = 1e-3,
+    max_iter: int = 100,
+    convergence: str = "all",
+) -> Tuple[Array, Array, Array]:
+    """Streaming OT resampling with the PARTICLE axis sharded across chips.
+
+    Per-shard body for ``shard_map``: ``particles`` is the local column
+    block (B_loc, N/S, d).  The O(N²) cost matrix is never materialised
+    anywhere; what crosses ICI is only O(N·d) per iteration:
+
+      * the (detached) particle coordinates and log-weights are all-gathered
+        once — every shard then evaluates softmins for its LOCAL rows
+        against ALL columns with the same flash kernels as the unsharded
+        path (per-shard compute N·N/S, memory O(N·d));
+      * the four row potentials (B, N/S each) are all-gathered per Sinkhorn
+        iteration (they are next iteration's column-side inputs);
+      * the convergence test max|Δpotential| gets a ``pmax`` over the
+        particle axis (and the stop decision the usual data-axis
+        aggregation), so the iteration count — and hence the numerics —
+        match the unsharded kernel exactly;
+      * the final T@x all-gathers the RAW particle values differentiably:
+        the custom VJP streams each shard's partial Tᵀg over its local rows
+        and ``all_gather``'s transpose psum-scatters them into the exact
+        global value-gradient (the reference's gradient topology,
+        `resamplers.py:234-245,256`).
+
+    Semantics: `resamplers.py:94-210` (ε-annealed symmetric Sinkhorn,
+    averaging step, per-batch freezing, final differentiable round).
+    """
+    sg = jax.lax.stop_gradient
+    b, n_loc, d = particles.shape
+    shards = jax.lax.psum(1, particle_axis)
+    n = n_loc * shards
+    my = jax.lax.axis_index(particle_axis)
+
+    from nfdpf_tpu.ops.sinkhorn import diameter, max_min
+
+    # detached global geometry — O(N·d), gathered once
+    x_all = jax.lax.all_gather(sg(particles), particle_axis, axis=1,
+                               tiled=True)                       # (B, N, d)
+    logw_all = jnp.log(jax.lax.all_gather(sg(probs), particle_axis,
+                                          axis=1, tiled=True))   # (B, N)
+    centered = x_all - jnp.mean(x_all, axis=1, keepdims=True)
+    diam = diameter(x_all, x_all)
+    scaled_all = centered / (diam[:, None, None] * math.sqrt(d))
+    scaled_loc = jax.lax.dynamic_slice_in_dim(scaled_all, my * n_loc, n_loc,
+                                              axis=1)            # (B, N/S, d)
+    uniform_all = jnp.full_like(logw_all, -math.log(n))
+
+    eps_target = jnp.asarray(eps, jnp.float32)
+    eps0 = (max_min(scaled_all, scaled_all) ** 2).astype(jnp.float32)
+    scaling_factor = scaling**2
+
+    # local-row softmin against gathered columns
+    sm4 = lambda e, fs_all: streaming_softmin_multi(  # noqa: E731
+        e, scaled_loc, scaled_all, fs_all
+    )
+
+    def gather_pots(*pots):
+        """(B, N/S) row potentials → (B, k, N) column-side inputs."""
+        return jax.lax.all_gather(jnp.stack(pots, axis=1), particle_axis,
+                                  axis=2, tiled=True)
+
+    init = sm4(eps0, jnp.stack([logw_all, uniform_all], axis=1))
+    a_y, b_x = init[:, 0], init[:, 1]                # (B, N/S) local rows
+    a_x, b_y = a_y, b_x
+
+    def cond_fn(state):
+        i, _, _, _, _, running, _ = state
+        it_ok = i < max_iter - 1
+        agg = jnp.all(running) if convergence == "all" else jnp.any(running)
+        if data_axis is not None:
+            agg_i = agg.astype(jnp.int32)
+            agg = (
+                jax.lax.pmin(agg_i, data_axis) if convergence == "all"
+                else jax.lax.pmax(agg_i, data_axis)
+            ) > 0
+        return jnp.logical_and(it_ok, agg)
+
+    def body_fn(state):
+        i, a_y, b_x, a_x, b_y, running, eps_run = state
+        pots = gather_pots(a_y, b_x, a_x, b_y)                  # (B, 4, N)
+        eps_col = eps_run[:, None]
+        run = running[:, None]
+        outs = sm4(eps_run, jnp.stack([
+            logw_all + pots[:, 1] / eps_col,
+            uniform_all + pots[:, 0] / eps_col,
+            logw_all + pots[:, 2] / eps_col,
+            uniform_all + pots[:, 3] / eps_col,
+        ], axis=1))
+        at_y = jnp.where(run, outs[:, 0], a_y)
+        bt_x = jnp.where(run, outs[:, 1], b_x)
+        at_x = jnp.where(run, outs[:, 2], a_x)
+        bt_y = jnp.where(run, outs[:, 3], b_y)
+        a_y_new, b_x_new = (a_y + at_y) / 2, (b_x + bt_x) / 2
+        a_x_new, b_y_new = (a_x + at_x) / 2, (b_y + bt_y) / 2
+        # convergence over the FULL potential vectors: local max, then pmax
+        a_diff = jax.lax.pmax(
+            jnp.max(jnp.abs(a_y_new - a_y), axis=1), particle_axis)
+        b_diff = jax.lax.pmax(
+            jnp.max(jnp.abs(b_x_new - b_x), axis=1), particle_axis)
+        local = jnp.logical_or(a_diff > threshold, b_diff > threshold)
+        new_eps = jnp.maximum(eps_run * scaling_factor, eps_target)
+        glob = jnp.logical_or(new_eps < eps_run, local)
+        return i + 1, a_y_new, b_x_new, a_x_new, b_y_new, glob, new_eps
+
+    state0 = (jnp.asarray(0), a_y, b_x, a_x, b_y,
+              jnp.ones((b,), bool), eps0)
+    _, a_y, b_x, a_x, b_y, _, _ = jax.lax.while_loop(cond_fn, body_fn, state0)
+
+    eps_b = jnp.broadcast_to(eps_target, (b,))
+    pots = gather_pots(a_y, b_x)                                 # (B, 2, N)
+    finals = sm4(eps_b, jnp.stack([
+        logw_all + pots[:, 1] / eps_b[:, None],
+        uniform_all + pots[:, 0] / eps_b[:, None],
+    ], axis=1))
+    final_f, final_g = finals[:, 0], finals[:, 1]    # (B, N/S) local rows
+
+    # colnorm for LOCAL columns j needs all rows i: C is symmetric, so the
+    # row/col roles of the streaming lse swap for free
+    f_all = jax.lax.all_gather(final_f, particle_axis, axis=1, tiled=True)
+    lse_col = streaming_lse(eps_b, scaled_loc, scaled_all,
+                            f_all / eps_b[:, None])
+    colnorm = final_g / eps_b[:, None] + lse_col
+    r_loc = final_f / eps_b[:, None]
+    logw_loc = jnp.log(sg(probs))
+    c_loc = final_g / eps_b[:, None] - colnorm + math.log(n) + logw_loc
+    c_all = jax.lax.all_gather(c_loc, particle_axis, axis=1, tiled=True)
+
+    # RAW particle values gathered DIFFERENTIABLY (grad: psum-scatter)
+    values_all = jax.lax.all_gather(particles, particle_axis, axis=1,
+                                    tiled=True)
+    transported = transport_apply_rc(values_all, eps_b, scaled_loc,
+                                     scaled_all, r_loc, c_all)
+    uniform = jnp.full_like(probs, 1.0 / n)
+    idx = (my * n_loc
+           + jnp.broadcast_to(jnp.arange(n_loc, dtype=jnp.int32)[None, :],
+                              (b, n_loc))).astype(jnp.int32)
     return transported, uniform, idx

@@ -140,10 +140,14 @@ def test_pallas_sinkhorn_data_sharded_matches_single_device():
     )
 
 
-def test_pallas_sinkhorn_particle_sharded_falls_back_dense():
-    """With the particle axis sharded, use_pallas must fall back to the
-    dense GSPMD path (with a warning) and still match single-device."""
-    cfg = _cfg(resampler_type="ot", use_pallas=True, max_iter=8)
+def test_pallas_sinkhorn_particle_sharded_streams():
+    """VERDICT r2 #4: with the particle axis sharded, use_pallas now routes
+    to the particle-sharded streaming kernel (no dense fallback, no
+    warning) and still matches the single-device dense filter."""
+    import warnings
+
+    cfg = _cfg(resampler_type="ot", use_pallas=True, max_iter=8,
+               ess_threshold=2.0)  # always resample: exercise OT every step
     batch = _batch(jax.random.PRNGKey(0), cfg, batch=8)
     key = jax.random.PRNGKey(7)
 
@@ -158,7 +162,8 @@ def test_pallas_sinkhorn_particle_sharded_falls_back_dense():
     engine = DPF(cfg, mesh=mesh)
     v_repl = replicate(variables, mesh)
     b_shard = shard_batch(batch, mesh)
-    with pytest.warns(UserWarning, match="streaming Sinkhorn"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning = failure
         out, _, _ = jax.jit(
             lambda v, b: engine.filter(v, b["image"], b["start_state"],
                                        b["state"][..., 2:], key, False)
