@@ -66,6 +66,14 @@ def main() -> None:
                    help="OT entropic regularisation (`arguments.py:27`)")
     p.add_argument("--ess-threshold", type=float, default=0.5,
                    help="resample when ESS < thr*N (`DPFs.py:165`)")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="route OT resampling through the streaming Pallas "
+                        "Sinkhorn (O(N·d) memory — required for OT at N≥4k)")
+    p.add_argument("--no-fused", action="store_true",
+                   help="dispatch one jitted step per batch instead of the "
+                        "fused whole-epoch scan (the tunnel compile helper "
+                        "rejects the very largest fused programs, e.g. "
+                        "N=10k × Pallas-OT × 50-step epoch scan)")
     args = p.parse_args()
 
     import jax
@@ -116,11 +124,13 @@ def main() -> None:
         lr=args.lr, seed=args.seed,
         epsilon=args.epsilon, ess_threshold=args.ess_threshold,
         compute_dtype=args.compute_dtype, torch_init=args.torch_init,
+        use_pallas=args.use_pallas,
         **CONFIGS[args.config],
     )
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
-    train_epoch = trainer.make_train_epoch()
+    train_epoch = None if args.no_fused else trainer.make_train_epoch()
+    train_step = trainer.make_train_step() if args.no_fused else None
     eval_step = trainer.make_eval_step()
 
     n_train = len(train_ds)
@@ -152,8 +162,18 @@ def main() -> None:
         idx = jnp.asarray(
             order[: steps * args.batch].reshape(steps, args.batch))
         key, sub = jax.random.split(key)
-        # whole epoch in one jitted program (one tunnel dispatch)
-        state, m = train_epoch(state, train_dev, idx, sub)
+        if args.no_fused:
+            ms = []
+            for ids in np.asarray(idx):
+                batch = {k: v[jnp.asarray(ids)] for k, v in train_dev.items()}
+                sub, s2 = jax.random.split(sub)
+                state, m = train_step(state, batch, s2)
+                ms.append(m)
+            m = jax.tree_util.tree_map(
+                lambda *xs: jnp.mean(jnp.stack(xs)), *ms)
+        else:
+            # whole epoch in one jitted program (one tunnel dispatch)
+            state, m = train_epoch(state, train_dev, idx, sub)
         # eval on the full val set in fixed-size chunks
         evals = []
         n_val = val_dev["image"].shape[0]

@@ -110,6 +110,11 @@ class DPFConfig:
     torch_init: bool = False           # torch-default U(±1/√fan_in) init for the
                                        # encoder/decoder/particle-enc Dense+Conv
                                        # layers (head-to-head init parity)
+    fused_epoch: bool = True           # stage the dataset in HBM and run each
+                                       # train epoch as ONE jitted lax.scan
+                                       # (amortises the per-dispatch latency);
+                                       # falls back to per-batch dispatch when
+                                       # the dataset does not fit
 
     @property
     def glow_ctx_features(self) -> int:
@@ -195,6 +200,9 @@ def parse_args(argv=None) -> DPFConfig:
     p.add_argument("--use-pallas", dest="use_pallas", action="store_true")
     p.add_argument("--torch-init", dest="torch_init", action="store_true")
     p.add_argument("--remat", dest="remat_scan_step", action="store_true")
+    p.add_argument("--no-fused-epoch", dest="fused_epoch", action="store_false",
+                   help="disable the device-staged fused-epoch trainer and "
+                        "dispatch one jitted step per batch instead")
     ns = p.parse_args(argv)
     return DPFConfig(**{f.name: getattr(ns, f.name)
                         for f in dataclasses.fields(DPFConfig)

@@ -73,7 +73,7 @@ def semi_supervised_mask(
 def _ancestor_walk(
     likelihoods: Array,      # (B, T, N)
     indices: Array,          # (B, T, N) within-batch ancestor indices
-    per_step_prior,          # callable j -> (B, N) prior log term at step j
+    prior_terms: Array,      # (B, T, N) per-step prior log term
     weights: Array,          # (B, T, N)
     block_len: int,
 ) -> Array:
@@ -82,30 +82,51 @@ def _ancestor_walk(
     QUIRK PRESERVED: the reference never resets ``logyita`` between blocks —
     block k's Q term includes all previous blocks' accumulation
     (`losses.py:45,65-66`).  Mirrored for parity.
+
+    Compiled as two nested ``lax.scan``s (blocks ascending × in-block steps
+    reversed) instead of T×block_len unrolled Python loops — O(1) program
+    size in T (VERDICT r2 weak #7).  The block-end step's "no gather" case
+    is folded into the general step by starting each block from the identity
+    ancestor permutation.
+
     Returns Q/b per batch element, shape (B,).
     """
     batch, seq_len, n = likelihoods.shape
-    q = jnp.zeros((batch,))
-    logyita = jnp.zeros((batch, n))
-    b_count = 0
+    bl = block_len
+    nb = seq_len // bl          # trailing partial block ignored, as in ref
+
+    def to_blocks(a):           # (B, T, N) -> (nb, bl, B, N)
+        return (a[:, : nb * bl]
+                .reshape(batch, nb, bl, n)
+                .transpose(1, 2, 0, 3))
+
+    lik_b, pri_b, idx_b = map(to_blocks, (likelihoods, prior_terms, indices))
+    w_end = to_blocks(weights)[:, -1]                     # (nb, B, N)
     take = lambda a, idx: jnp.take_along_axis(a, idx, axis=-1)  # noqa: E731
-    for k in range(seq_len):
-        if (k + 1) % block_len != 0:
-            continue
-        index_a = None
-        for j in range(k, k - block_len, -1):
-            if j == k:
-                lik = likelihoods[:, j]
-                prior = per_step_prior(j, None)
-                index_a = indices[:, j]
-            else:
-                lik = take(likelihoods[:, j], index_a)
-                prior = per_step_prior(j, index_a)
-                index_a = take(indices[:, j], index_a)
-            logyita = logyita + prior + lik
-        q = q + jnp.sum(weights[:, k] * logyita, axis=-1)
-        b_count += 1
-    return q / b_count
+    identity = jnp.broadcast_to(
+        jnp.arange(n, dtype=indices.dtype), (batch, n))
+
+    def in_block_step(carry, xs):
+        index_a, ly = carry
+        lik_j, pri_j, idx_j = xs
+        ly = ly + take(pri_j, index_a) + take(lik_j, index_a)
+        return (take(idx_j, index_a), ly), None
+
+    def block(carry, xs):
+        q, ly = carry
+        lik_blk, pri_blk, idx_blk, w_k = xs
+        (_, ly), _ = jax.lax.scan(
+            in_block_step, (identity, ly), (lik_blk, pri_blk, idx_blk),
+            reverse=True,
+        )
+        return (q + jnp.sum(w_k * ly, axis=-1), ly), None
+
+    (q, _), _ = jax.lax.scan(
+        block,
+        (jnp.zeros((batch,)), jnp.zeros((batch, n))),
+        (lik_b, pri_b, idx_b, w_end),
+    )
+    return q / nb
 
 
 def pseudolikelihood_loss(
@@ -125,22 +146,17 @@ def pseudolikelihood_loss(
     """
     log_c = -0.5 * math.log(2 * math.pi)
 
-    def prior_at(j, index_a):
-        noise_pos = noise[:, j, :, :2]
-        noise_vel = noise[:, j, :, 2:]
-        if index_a is not None:
-            noise_pos = jnp.take_along_axis(noise_pos, index_a[..., None], axis=1)
-            noise_vel = (
-                jnp.take_along_axis(noise_vel, index_a[..., None], axis=1)
-                if noise_vel.shape[-1] else noise_vel
-            )
-        term_pos = (2 * log_c - 2 * math.log(std_pos)
-                    - jnp.sum(noise_pos**2 / (2 * std_pos**2), axis=-1))
-        term_vel = (2 * log_c - 2 * math.log(std_vel)
-                    - jnp.sum(noise_vel**2 / (2 * std_vel**2), axis=-1))
-        return term_pos + term_vel
+    # The per-particle prior term is elementwise in the particle axis, so it
+    # commutes with the ancestor gather: precompute (B, T, N) once and let
+    # the walk gather it (identical value and gradient to gathering the
+    # noise first).
+    term_pos = (2 * log_c - 2 * math.log(std_pos)
+                - jnp.sum(noise[..., :2] ** 2 / (2 * std_pos**2), axis=-1))
+    term_vel = (2 * log_c - 2 * math.log(std_vel)
+                - jnp.sum(noise[..., 2:] ** 2 / (2 * std_vel**2), axis=-1))
+    prior_terms = term_pos + term_vel
 
-    q = _ancestor_walk(likelihoods, indices, prior_at, weights, block_len)
+    q = _ancestor_walk(likelihoods, indices, prior_terms, weights, block_len)
     return -jnp.mean(q)
 
 
@@ -159,11 +175,5 @@ def pseudolikelihood_loss_nf(
     the accumulator (`losses.py:57,65`) — only prior + lik enter.  Mirrored.
     """
 
-    def prior_at(j, index_a):
-        p = priors[:, j]
-        if index_a is not None:
-            p = jnp.take_along_axis(p, index_a, axis=-1)
-        return p
-
-    q = _ancestor_walk(likelihoods, indices, prior_at, weights, block_len)
+    q = _ancestor_walk(likelihoods, indices, priors, weights, block_len)
     return -jnp.mean(q)

@@ -70,24 +70,53 @@ def main(argv=None) -> None:
     val_bs = min(50, len(val_ds))
     test_bs = min(50, len(test_ds))
 
-    trainer = Trainer(cfg)
+    # --mesh-data/--mesh-particle scale-out: build the ('data','particle')
+    # mesh, replicate parameters, shard batches over 'data'.  The reference
+    # entry point is single-device (`main.py:10`, SURVEY §2.7); this is the
+    # TPU-native extension.
+    mesh = None
+    if cfg.mesh_data * cfg.mesh_particle > 1:
+        from nfdpf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+        n_mesh = cfg.mesh_data * cfg.mesh_particle
+        mesh = make_mesh(data=cfg.mesh_data, particle=cfg.mesh_particle,
+                         devices=jax.devices()[:n_mesh])
+        print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} devices")
+
+    trainer = Trainer(cfg, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
+    if mesh is not None:
+        state = replicate(state, mesh)
 
     ckpt_best = os.path.join(run_dir, "models", "best")
     if cfg.resume and os.path.isdir(ckpt_best):
         print("resuming from", ckpt_best)
         state = trainer.load(ckpt_best, state)
 
-    train_iter = lambda epoch: iterate_batches(  # noqa: E731
+    def _sharded(it):
+        if mesh is None:
+            return it
+        return (shard_batch(b, mesh) for b in it)
+
+    train_iter = lambda epoch: _sharded(iterate_batches(  # noqa: E731
         train_ds, cfg.batch_size, shuffle=True, drop_last=True,
         seed=cfg.seed + epoch,
-    )
-    val_iter = lambda: iterate_batches(  # noqa: E731
+    ))
+    val_iter = lambda: _sharded(iterate_batches(  # noqa: E731
         val_ds, val_bs, shuffle=False, drop_last=True
-    )
-    test_iter = lambda: iterate_batches(  # noqa: E731
+    ))
+    test_iter = lambda: _sharded(iterate_batches(  # noqa: E731
         test_ds, test_bs, shuffle=False, drop_last=True
-    )
+    ))
+
+    # staged-dataset budget for the fused-epoch fast path: uint8 frames for
+    # train+val must fit in HBM next to the model (v5e: 16 GB/chip; sharding
+    # over 'data' divides the footprint)
+    staged_bytes = sum(
+        ds.data["image"].nbytes + ds.data["state"].nbytes
+        for ds in (train_ds, val_ds)
+    ) // (mesh.shape["data"] if mesh is not None else 1)
+    use_fused = cfg.fused_epoch and staged_bytes < 8e9
 
     if not cfg.testing:
         if cfg.pretrain_ae:
@@ -120,11 +149,20 @@ def main(argv=None) -> None:
         if cfg.e2e_train:
             print("end-to-end training ...")
             logger = MetricsLogger(os.path.join(run_dir, "logger"))
-            state = trainer.fit(
-                train_iter, val_iter, run_dir,
-                num_epochs=cfg.num_epochs, state=state, logger=logger,
-                seed=cfg.seed,
-            )
+            if use_fused:
+                print(f"fused-epoch trainer (staged {staged_bytes/1e9:.2f} "
+                      "GB/device)")
+                state = trainer.fit_fused(
+                    train_ds, val_ds, run_dir,
+                    num_epochs=cfg.num_epochs, state=state, logger=logger,
+                    seed=cfg.seed,
+                )
+            else:
+                state = trainer.fit(
+                    train_iter, val_iter, run_dir,
+                    num_epochs=cfg.num_epochs, state=state, logger=logger,
+                    seed=cfg.seed,
+                )
         trainer.save(os.path.join(run_dir, "models", "final"), state)
     else:
         ckpt = os.path.join(cfg.model_path, "best")

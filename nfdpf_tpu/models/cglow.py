@@ -35,9 +35,53 @@ def _normal_init(std):
     return nn.initializers.normal(stddev=std)
 
 
+class _PatchConv(nn.Module):
+    """Non-overlapping (stride == kernel) conv as space-to-depth + matmul.
+
+    Mathematically identical to ``nn.Conv(..., strides=kernel,
+    padding='VALID')`` with the same (kh, kw, I, O) kernel layout, but
+    avoids materialising lane-padded NHWC conv buffers: a (B·N, 8, 8, 3)
+    activation is padded to 128 lanes by the TPU conv (≈43× wasted HBM
+    traffic at CGLOW's channel counts), while the patch-matmul form is a
+    (rows, kh·kw·I) × (kh·kw·I, O) GEMM on dense features.  Parameters live
+    under the same ``Conv_0/{kernel,bias}`` names as the conv form so
+    checkpoints and the reference-parity weight mapping are unchanged.
+    """
+
+    kh: int
+    kw: int
+    out_channels: int
+    kernel_init: nn.initializers.Initializer = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (self.kh, self.kw, in_ch, self.out_channels))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        lead = x.shape[:-3]
+        h, w = x.shape[-3], x.shape[-2]
+        ho, wo = h // self.kh, w // self.kw
+        x = x.reshape(lead + (ho, self.kh, wo, self.kw, in_ch))
+        # (..., ho, kh, wo, kw, C) -> (..., ho, wo, kh, kw, C): matches the
+        # conv kernel's (kh, kw, I, O) contraction order exactly
+        nd = x.ndim
+        x = jnp.moveaxis(x, nd - 4, nd - 3)
+        x = x.reshape(lead + (ho, wo, self.kh * self.kw * in_ch))
+        wmat = kernel.reshape(self.kh * self.kw * in_ch, self.out_channels)
+        return x @ wmat + bias
+
+
 class ConvResize(nn.Module):
     """Conv whose stride/kernel are computed to hit an exact output size,
-    zero-init weights (`nf/cglow/modules.py:47-61`)."""
+    zero-init weights (`nf/cglow/modules.py:47-61`).
+
+    At CGLOW's sizes the stride always equals the kernel (8→4→2→1 halvings),
+    so the conv is non-overlapping and compiled as a patch-matmul
+    (``_PatchConv``); the general overlapping case falls back to ``nn.Conv``.
+    Parameter tree is identical either way (``Conv_0/{kernel,bias}``).
+    """
 
     in_hw: Tuple[int, int]
     out_hw: Tuple[int, int]
@@ -49,6 +93,9 @@ class ConvResize(nn.Module):
         sw = self.in_hw[1] // self.out_hw[1]
         kh = self.in_hw[0] - (self.out_hw[0] - 1) * sh
         kw = self.in_hw[1] - (self.out_hw[1] - 1) * sw
+        if (kh, kw) == (sh, sw):
+            return _PatchConv(kh, kw, self.out_channels,
+                              name="Conv_0")(x)
         return nn.Conv(self.out_channels, (kh, kw), strides=(sh, sw),
                        padding="VALID", kernel_init=nn.initializers.zeros)(x)
 

@@ -205,14 +205,24 @@ class Trainer:
 
         ``data`` values are the full staged arrays (leading axis = dataset);
         ``idx`` is int32 (steps_per_epoch, batch_size).
+
+        Under a mesh the staged arrays are sharded over 'data' on the dataset
+        axis and the per-step gather is re-constrained to batch-over-'data',
+        so each step's collective traffic is one batch, same as shipping the
+        batch would be — but over ICI instead of the host link.
         """
         tx = self.tx
+        mesh = self.mesh
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_epoch(state: TrainState, data, idx, key):
             def body(carry, ids):
                 st, ky = carry
                 batch = {k: v[ids] for k, v in data.items()}
+                if mesh is not None:
+                    from nfdpf_tpu.parallel.mesh import DATA_AXIS, constrain
+                    batch = {k: constrain(v, mesh, DATA_AXIS)
+                             for k, v in batch.items()}
                 ky, sub = jax.random.split(ky)
                 (loss, aux), grads = jax.value_and_grad(
                     self._loss, has_aux=True
@@ -328,6 +338,125 @@ class Trainer:
                     pred=np.asarray(aux["predictions"]),
                     state=np.asarray(batch["state"]),
                     loss=np.asarray([m["loss_sup"] for m in eval_metrics]),
+                )
+                save_checkpoint(
+                    os.path.join(run_dir, "models", "best"),
+                    {"params": state.params, "rest": state.rest,
+                     "opt_state": state.opt_state,
+                     "epoch": jnp.asarray(state.epoch)},
+                )
+        return state
+
+    def fit_fused(
+        self,
+        train_ds,                 # DiskDataset (raw arrays in .data)
+        val_ds,                   # DiskDataset
+        run_dir: str,
+        num_epochs: Optional[int] = None,
+        state: Optional[TrainState] = None,
+        logger: Optional[MetricsLogger] = None,
+        seed: int = 0,
+    ) -> TrainState:
+        """Device-staged fast path of :meth:`fit` — same artifacts/ckpts, but
+        the whole dataset lives in HBM (uint8 images, normalised on device)
+        and each epoch is ONE jitted ``lax.scan`` over optimizer steps
+        (``make_train_epoch``), so the per-call dispatch latency is paid once
+        per epoch instead of once per batch.
+
+        Under a mesh the staged arrays are sharded over 'data' along the
+        dataset axis (trimmed to a shard multiple) and the training state is
+        replicated.
+        """
+        cfg = self.config
+        num_epochs = num_epochs or cfg.num_epochs
+        os.makedirs(os.path.join(run_dir, "models"), exist_ok=True)
+        os.makedirs(os.path.join(run_dir, "data"), exist_ok=True)
+        logger = logger or MetricsLogger(os.path.join(run_dir, "logger"))
+        if state is None:
+            state = self.init_state(jax.random.PRNGKey(cfg.seed))
+
+        def _trim(n: int) -> int:
+            if self.mesh is None:
+                return n
+            shards = self.mesh.shape["data"]
+            return (n // shards) * shards
+
+        def _stage(ds):
+            keep = ("image", "state", "start_state")
+            arrays = {k: np.asarray(ds.data[k]) for k in keep}
+            n = _trim(arrays["image"].shape[0])
+            arrays = {k: v[:n] for k, v in arrays.items()}
+            if self.mesh is None:
+                return jax.device_put(arrays)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from nfdpf_tpu.parallel.mesh import DATA_AXIS
+
+            return jax.device_put(
+                arrays, NamedSharding(self.mesh, P(DATA_AXIS)))
+
+        train_dev = _stage(train_ds)
+        val_dev = _stage(val_ds)
+        if self.mesh is not None:
+            from nfdpf_tpu.parallel.mesh import replicate
+
+            state = replicate(state, self.mesh)
+
+        n_train = train_dev["image"].shape[0]
+        n_val = val_dev["image"].shape[0]
+        steps = n_train // cfg.batch_size
+        if steps < 1:
+            raise ValueError(
+                f"dataset ({n_train} sequences) smaller than the batch size "
+                f"({cfg.batch_size}); the fused epoch would run zero steps")
+        eval_bs = _trim(min(50, n_val)) or n_val
+
+        train_epoch = self.make_train_epoch()
+        eval_step = self.make_eval_step()
+        key = jax.random.PRNGKey(seed)
+        rng = np.random.default_rng(seed)
+        best_eval = float("inf")
+        eval_loss_epoch = []
+
+        for epoch in range(int(state.epoch), num_epochs):
+            order = rng.permutation(n_train)
+            idx = jnp.asarray(
+                order[: steps * cfg.batch_size]
+                .reshape(steps, cfg.batch_size).astype(np.int32))
+            key, sub = jax.random.split(key)
+            state, m = train_epoch(state, train_dev, idx, sub)
+            mean_sup = float(m["loss_sup"])
+            logger.scalar("Sup_loss/loss", mean_sup, epoch)
+
+            eval_metrics = []
+            last_aux = None
+            for lo in range(0, n_val - eval_bs + 1, eval_bs):
+                vbatch = {k: v[lo:lo + eval_bs] for k, v in val_dev.items()}
+                key, sub = jax.random.split(key)
+                em, aux = eval_step(state, vbatch, sub)
+                eval_metrics.append(float(em["loss_sup"]))
+                last_aux = (aux, vbatch)
+            mean_eval = float(np.mean(eval_metrics))
+            logger.scalar("Sup_loss_eval/loss", mean_eval, epoch)
+            eval_loss_epoch.append(mean_eval)
+            np.save(os.path.join(run_dir, "data", "eval_loss_epoch.npy"),
+                    np.asarray(eval_loss_epoch))
+            print(f"epoch {epoch}: train_sup={mean_sup:.4f} "
+                  f"eval_sup={mean_eval:.4f}")
+
+            state = state.replace(epoch=epoch + 1)
+            if mean_eval < best_eval and last_aux is not None:
+                best_eval = mean_eval
+                aux, vbatch = last_aux
+                out: FilterOutput = aux["filter_out"]
+                np.savez(
+                    os.path.join(run_dir, "data", "eval_result_best.npz"),
+                    particle_list=np.asarray(out.particles),
+                    particle_weight_list=np.asarray(out.weights),
+                    likelihood_list=np.asarray(out.likelihoods),
+                    pred=np.asarray(aux["predictions"]),
+                    state=np.asarray(vbatch["state"]),
+                    loss=np.asarray(eval_metrics),
                 )
                 save_checkpoint(
                     os.path.join(run_dir, "models", "best"),

@@ -1,0 +1,60 @@
+"""True multi-process `jax.distributed` bring-up (VERDICT r2 #9).
+
+Spawns TWO separate Python processes, each with 2 virtual CPU devices, that
+rendezvous through `nfdpf_tpu.parallel.distributed.initialize()` (the same
+env-var glue a multi-host TPU pod launch uses), build one global mesh, and
+run a cross-process collective.  Skips where the jax build does not support
+multi-process CPU collectives.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_initialize_and_collective():
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = {
+            k: v for k, v in os.environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+        }
+        env.update({
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("multi-process CPU rendezvous timed out on this host")
+        outs.append(out)
+    if any(p.returncode != 0 for p in procs):
+        joined = "\n---\n".join(outs)
+        if "UNIMPLEMENTED" in joined or "does not support" in joined:
+            pytest.skip(f"multi-process CPU collectives unsupported: {joined[-500:]}")
+        raise AssertionError(
+            f"distributed workers failed:\n{joined}"
+        )
+    for pid, out in enumerate(outs):
+        assert "OK" in out, f"worker {pid} produced no OK line:\n{out}"
