@@ -36,17 +36,22 @@ def main() -> None:
                    max_iter=args.max_iter)
 
     stream = jax.jit(lambda x, w: ot_resample_pallas(x, w, **kw_args))
-    dense = jax.jit(lambda x, w: ot_resample(x, w, **kw_args))
+    # The streaming kernel accumulates in f32 (preferred_element_type);
+    # compare against the dense path at matched f32 matmul precision —
+    # at TPU default precision the DENSE path's big T@x / cdist matmuls run
+    # with bf16 mantissas and carry ~1e-1 absolute error on ±30 particles.
+    with jax.default_matmul_precision("float32"):
+        dense = jax.jit(lambda x, w: ot_resample(x, w, **kw_args))
 
-    ps, ws, _ = stream(particles, probs)
-    pd, wd, _ = dense(particles, probs)
-    ps.block_until_ready()
-    err_p = float(jnp.max(jnp.abs(ps - pd)))
-    err_w = float(jnp.max(jnp.abs(ws - wd)))
-    # gradient path through the value operand of T@x
-    g = jax.grad(lambda x: jnp.sum(stream(x, probs)[0] ** 2))(particles)
-    gd = jax.grad(lambda x: jnp.sum(dense(x, probs)[0] ** 2))(particles)
-    err_g = float(jnp.max(jnp.abs(g - gd)))
+        ps, ws, _ = stream(particles, probs)
+        pd, wd, _ = dense(particles, probs)
+        ps.block_until_ready()
+        err_p = float(jnp.max(jnp.abs(ps - pd)))
+        err_w = float(jnp.max(jnp.abs(ws - wd)))
+        # gradient path through the value operand of T@x
+        g = jax.grad(lambda x: jnp.sum(stream(x, probs)[0] ** 2))(particles)
+        gd = jax.grad(lambda x: jnp.sum(dense(x, probs)[0] ** 2))(particles)
+        err_g = float(jnp.max(jnp.abs(g - gd)))
     print(f"devices={jax.devices()} B={b} N={n}: "
           f"max|Δparticles|={err_p:.3e} max|Δweights|={err_w:.3e} "
           f"max|Δgrad|={err_g:.3e}")

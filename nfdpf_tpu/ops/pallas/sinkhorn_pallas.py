@@ -83,19 +83,24 @@ def _lse_kernel(eps_ref, x_ref, y_ref, f_ref, o_ref, *, block_cols, n_cols,
     (`resamplers.py:135-141`), so fusing them quarters the distance math and
     the x/y traffic.
 
-    eps_ref: (B, 1) whole-array SMEM; x_ref: (1, BR, d); y_ref: (1, M, d);
+    eps_ref: (B, 1) whole-array SMEM; x_ref: (1, d, BR); y_ref: (1, d, M);
     f_ref: (1, G, M); o_ref: (1, G, BR).
+
+    Coordinates ride d-MAJOR (minor dim = particle axis): a (M, d) block
+    with d=2 pads the 2 to 128 lanes — 5.24 MB of VMEM per buffer at
+    N=10240, which double-buffered blows the 16 MB scoped-VMEM budget.
+    (d, M) pads d to 8 sublanes instead: 0.33 MB.
     """
     eps = eps_ref[pl.program_id(0), 0]
-    block_rows = x_ref.shape[1]
+    block_rows = x_ref.shape[2]
     num_blocks = n_cols // block_cols
 
     def body(j, carry):
         m, s = carry                                           # (G, BR) each
-        yb = y_ref[0, pl.ds(j * block_cols, block_cols), :]    # (BC, d)
         dist2 = jnp.zeros((block_rows, block_cols), jnp.float32)
         for k in range(dim):
-            diff = x_ref[0, :, k][:, None] - yb[:, k][None, :]
+            yk = y_ref[0, k, pl.ds(j * block_cols, block_cols)]   # (BC,)
+            diff = x_ref[0, k, :][:, None] - yk[None, :]
             dist2 = dist2 + diff * diff
         neg_cost = -0.5 * dist2 / eps                          # (BR, BC)
         new_ms, new_ss = [], []
@@ -125,8 +130,8 @@ def streaming_lse_multi(eps: Array, x: Array, y: Array, fs: Array) -> Array:
     b, n, d = x.shape
     g, m = fs.shape[1], fs.shape[2]
     block_rows, block_cols, n_pad, m_pad = _blocks(n, m)
-    xp = _pad_axis1(x, n_pad)
-    yp = _pad_axis1(y, m_pad)
+    xp = _pad_axis1(x, n_pad).transpose(0, 2, 1)     # (B, d, Npad) d-major
+    yp = _pad_axis1(y, m_pad).transpose(0, 2, 1)     # (B, d, Mpad)
     fp = jnp.pad(fs, ((0, 0), (0, 0), (0, m_pad - m)),
                  constant_values=NEG_INF)
     eps2d = eps.reshape(b, 1).astype(jnp.float32)
@@ -137,9 +142,9 @@ def streaming_lse_multi(eps: Array, x: Array, y: Array, fs: Array) -> Array:
         grid=(b, n_pad // block_rows),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_rows, d), lambda bi, ri: (bi, ri, 0),
+            pl.BlockSpec((1, d, block_rows), lambda bi, ri: (bi, 0, ri),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad, d), lambda bi, ri: (bi, 0, 0),
+            pl.BlockSpec((1, d, m_pad), lambda bi, ri: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g, m_pad), lambda bi, ri: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -178,30 +183,32 @@ def _apply_kernel(
 ):
     """out_i = Σ_j exp(r_i + c_j − C_ij/ε) · v_j.
 
-    x_ref: (1, BR, d) row positions; y_ref: (1, M, d) column positions;
-    v_ref: (1, M, vd) column values; r_ref: (1, 1, BR); c_ref: (1, 1, M).
+    d-major layout (see ``_lse_kernel``): x_ref (1, d, BR) row positions;
+    y_ref (1, d, M) column positions; v_ref (1, vd, M) column values;
+    r_ref (1, 1, BR); c_ref (1, 1, M); o_ref (1, vd, BR).
     """
     eps = eps_ref[pl.program_id(0), 0]
-    block_rows = x_ref.shape[1]
+    block_rows = x_ref.shape[2]
     num_blocks = n_cols // block_cols
     r = r_ref[0, 0, :][:, None]                                # (BR, 1)
 
     def body(j, acc):
-        yb = y_ref[0, pl.ds(j * block_cols, block_cols), :]
-        vb = v_ref[0, pl.ds(j * block_cols, block_cols), :]
+        vb = v_ref[0, :, pl.ds(j * block_cols, block_cols)]    # (vd, BC)
         cb = c_ref[0, 0, pl.ds(j * block_cols, block_cols)]
         dist2 = jnp.zeros((block_rows, block_cols), jnp.float32)
         for k in range(dim):
-            diff = x_ref[0, :, k][:, None] - yb[:, k][None, :]
+            yk = y_ref[0, k, pl.ds(j * block_cols, block_cols)]
+            diff = x_ref[0, k, :][:, None] - yk[None, :]
             dist2 = dist2 + diff * diff
         t = jnp.exp(r + cb[None, :] - 0.5 * dist2 / eps)        # (BR, BC)
         return acc + jax.lax.dot_general(
-            t, vb, (((1,), (0,)), ((), ())),
+            t, vb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     acc0 = jnp.zeros((block_rows, vdim), jnp.float32)
-    o_ref[0, :, :] = jax.lax.fori_loop(0, num_blocks, body, acc0)
+    acc = jax.lax.fori_loop(0, num_blocks, body, acc0)          # (BR, vd)
+    o_ref[0, :, :] = acc.T
 
 
 def _apply_impl(eps, x_rows, y_cols, values, r, c) -> Array:
@@ -214,30 +221,30 @@ def _apply_impl(eps, x_rows, y_cols, values, r, c) -> Array:
         grid=(b, n_pad // block_rows),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_rows, d), lambda bi, ri: (bi, ri, 0),
+            pl.BlockSpec((1, d, block_rows), lambda bi, ri: (bi, 0, ri),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad, d), lambda bi, ri: (bi, 0, 0),
+            pl.BlockSpec((1, d, m_pad), lambda bi, ri: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad, vd), lambda bi, ri: (bi, 0, 0),
+            pl.BlockSpec((1, vd, m_pad), lambda bi, ri: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_rows), lambda bi, ri: (bi, 0, ri),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, m_pad), lambda bi, ri: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_rows, vd), lambda bi, ri: (bi, ri, 0),
+        out_specs=pl.BlockSpec((1, vd, block_rows), lambda bi, ri: (bi, 0, ri),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, vd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, vd, n_pad), jnp.float32),
         interpret=_interp(),
     )(
         eps.reshape(b, 1).astype(jnp.float32),
-        _pad_axis1(x_rows, n_pad),
-        _pad_axis1(y_cols, m_pad),
-        _pad_axis1(values, m_pad),
+        _pad_axis1(x_rows, n_pad).transpose(0, 2, 1),
+        _pad_axis1(y_cols, m_pad).transpose(0, 2, 1),
+        _pad_axis1(values, m_pad).transpose(0, 2, 1),
         _pad_axis1(r, n_pad, NEG_INF)[:, None, :],
         _pad_axis1(c, m_pad, NEG_INF)[:, None, :],
     )
-    return out[:, :n, :]
+    return out[:, :, :n].transpose(0, 2, 1)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())
