@@ -74,6 +74,18 @@ def main() -> None:
                         "fused whole-epoch scan (the tunnel compile helper "
                         "rejects the very largest fused programs, e.g. "
                         "N=10k × Pallas-OT × 50-step epoch scan)")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="checkpoint dir (default: <out>.ckpt). The train "
+                        "state is saved every epoch so long runs survive "
+                        "crashes and can be run in bounded-length chunks")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --ckpt-dir")
+    p.add_argument("--epochs-per-proc", type=int, default=0,
+                   help="exit cleanly after this many epochs (0 = run to "
+                        "--epochs). Long single processes decelerate "
+                        "(~+12s/epoch dispatch-overhead growth observed at "
+                        "N=10k); chunked re-exec via run_chunked.sh keeps "
+                        "every chunk in the fast regime")
     args = p.parse_args()
 
     import jax
@@ -139,6 +151,26 @@ def main() -> None:
     history = []
     t_start = time.time()
 
+    from nfdpf_tpu.utils.checkpoint import (latest_checkpoint,
+                                            restore_checkpoint,
+                                            save_checkpoint)
+
+    ckpt_dir = args.ckpt_dir or (args.out + ".ckpt")
+    start_epoch = 0
+    if args.resume:
+        latest = latest_checkpoint(ckpt_dir)
+        if latest is not None:
+            tree = restore_checkpoint(latest, {
+                "state": state, "epoch": 0,
+                "history": np.zeros((args.epochs,), np.float64)})
+            state = tree["state"]
+            start_epoch = int(tree["epoch"]) + 1
+            history = [float(x) for x in tree["history"][:start_epoch]]
+            print(f"resumed from {latest}: epoch {start_epoch}, "
+                  f"best so far {min(history):.3f}px", flush=True)
+        else:
+            print(f"no checkpoint in {ckpt_dir}; starting fresh", flush=True)
+
     if args.pretrain_epochs > 0:
         ae_step = trainer.make_ae_pretrain_step()
         t = args.seq_len
@@ -157,11 +189,14 @@ def main() -> None:
         f"dataset ({n_train} sequences) smaller than batch size "
         f"({args.batch}); lax.scan would run zero steps and the epoch "
         f"metrics would be silent NaNs — lower --batch")
-    for epoch in range(args.epochs):
-        order = rng.permutation(n_train)
+    done = 0
+    for epoch in range(start_epoch, args.epochs):
+        # per-epoch derivation (not a chained split) so a resumed run draws
+        # the same permutations/keys the uninterrupted run would have
+        order = np.random.default_rng([0, epoch]).permutation(n_train)
         idx = jnp.asarray(
             order[: steps * args.batch].reshape(steps, args.batch))
-        key, sub = jax.random.split(key)
+        sub = jax.random.fold_in(key, epoch)
         if args.no_fused:
             ms = []
             for ids in np.asarray(idx):
@@ -178,10 +213,11 @@ def main() -> None:
         evals = []
         n_val = val_dev["image"].shape[0]
         eval_bs = min(50, n_val)
-        for lo in range(0, n_val - eval_bs + 1, eval_bs):
+        for ci, lo in enumerate(range(0, n_val - eval_bs + 1, eval_bs)):
             vbatch = {k: v[lo:lo + eval_bs] for k, v in val_dev.items()}
-            key, sub = jax.random.split(key)
-            em, _ = eval_step(state, vbatch, sub)
+            esub = jax.random.fold_in(jax.random.fold_in(key, 10_000 + epoch),
+                                      ci)
+            em, _ = eval_step(state, vbatch, esub)
             evals.append(float(em["loss_sup"]))
         rmse = float(np.mean(evals))
         history.append(rmse)
@@ -202,6 +238,19 @@ def main() -> None:
                        "val_rmse_per_epoch": history,
                        "best_val_rmse": min(history),
                        "wall_seconds": time.time() - t_start}, f, indent=2)
+        hpad = np.zeros((args.epochs,), np.float64)
+        hpad[: len(history)] = history
+        save_checkpoint(os.path.join(ckpt_dir, f"ckpt_{epoch}"),
+                        {"state": state, "epoch": epoch, "history": hpad})
+        prev = os.path.join(ckpt_dir, f"ckpt_{epoch - 1}")
+        if os.path.isdir(prev):
+            import shutil
+            shutil.rmtree(prev)
+        done += 1
+        if args.epochs_per_proc and done >= args.epochs_per_proc:
+            print(f"chunk done ({done} epochs); exiting for re-exec",
+                  flush=True)
+            break
 
     print(f"best val RMSE: {min(history):.3f}px")
 
