@@ -36,7 +36,10 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # hard-set (not setdefault): the session env carries JAX_PLATFORMS=axon
+    # and dataset generation must never grab the single real chip — a
+    # generation job on the tunnel blocks any concurrent training run
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     import numpy as np
 

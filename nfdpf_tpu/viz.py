@@ -22,38 +22,63 @@ def _np(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def _quiver(ax, pos_x, pos_y, vel_x, vel_y, color):
+    """Velocity arrows with the reference's arrow geometry
+    (`plot.py:25-26`: xy scale-units, scale 1/20, scaled heads)."""
+    hs = 1.5
+    ax.quiver(pos_x, pos_y, vel_x, vel_y, color=color,
+              scale_units="xy", scale=1.0 / 20.0, width=0.003,
+              headlength=5 * hs, headwidth=1 * hs, headaxislength=4.5 * hs)
+
+
 def plot_obs_tracking(
     images,          # (T, H, W, 3)
-    particles,       # (T, N, 2)
+    particles,       # (T, N, >=2) — velocity quivers drawn when dim >= 4
     weights,         # (T, N)
-    true_state,      # (T, >=2)
-    predictions,     # (T, 2)
+    true_state,      # (T, >=2) — velocity quiver drawn when dim >= 4
+    predictions,     # (T, >=2)
     out_dir: str,
     steps: Optional[Sequence[int]] = None,
     width: int = 128,
 ):
-    """Per-step overlay: observation + weight-scaled particle scatter,
-    truth (red) and prediction (blue) (`plot.py:6-74`)."""
+    """Per-step overlay: observation + weight-scaled/weight-alpha particle
+    scatter, truth (red) and prediction (blue), with velocity quiver arrows
+    for any input that carries velocities (`plot.py:6-74`).  Every timestep
+    is rendered by default, as in the reference's `for t in range(seq_len)`
+    (`plot.py:35`)."""
     images, particles = _np(images), _np(particles)
     weights, true_state, predictions = _np(weights), _np(true_state), _np(predictions)
     os.makedirs(out_dir, exist_ok=True)
     half = width / 2.0
     if steps is None:
-        steps = range(0, images.shape[0], max(1, images.shape[0] // 10))
+        steps = range(images.shape[0])
     figs = []
     for t in steps:
         fig, ax = plt.subplots(figsize=(4, 4))
         ax.imshow(images[t], extent=[-half, half, half, -half])
         w = weights[t]
+        # weight-scaled size + min-max-normalized alpha (`plot.py:55-56`)
+        wspan = w.max() - w.min()
+        alpha = (w - w.min()) / wspan if wspan > 0 else np.full_like(w, 0.5)
         ax.scatter(particles[t, :, 0], particles[t, :, 1],
-                   s=200 * w / w.max(), c="yellow", alpha=0.5,
+                   s=200 * w / w.max(), c="yellow", alpha=alpha,
                    label="particles")
+        if particles.shape[-1] >= 4:
+            _quiver(ax, particles[t, :, 0], particles[t, :, 1],
+                    particles[t, :, 2], particles[t, :, 3], "black")
         ax.scatter([true_state[t, 0]], [true_state[t, 1]], c="red", marker="x",
                    s=80, label="truth")
+        if true_state.shape[-1] >= 4:
+            _quiver(ax, true_state[t, 0], true_state[t, 1],
+                    true_state[t, 2], true_state[t, 3], "red")
         ax.scatter([predictions[t, 0]], [predictions[t, 1]], c="blue",
                    marker="+", s=80, label="prediction")
+        if predictions.shape[-1] >= 4:
+            _quiver(ax, predictions[t, 0], predictions[t, 1],
+                    predictions[t, 2], predictions[t, 3], "blue")
         ax.set_xlim(-half, half)
         ax.set_ylim(half, -half)
+        ax.set_title(f"t={t}", fontsize=9)
         ax.legend(loc="upper right", fontsize=6)
         fig.savefig(os.path.join(out_dir, f"tracking_step_{t:03d}.png"),
                     dpi=100, bbox_inches="tight")

@@ -21,6 +21,14 @@ def test_all_plots_render(tmp_path):
     assert len(figs) == 2
     assert os.path.exists(tmp_path / "track" / "tracking_step_000.png")
 
+    # default = every timestep; 4-D particles/truth/pred get velocity
+    # quivers (`plot.py:35-62` parity)
+    particles4 = rng.normal(size=(t, n, 4)).astype(np.float32) * 30
+    figs = viz.plot_obs_tracking(images, particles4, weights, state,
+                                 state + 1.0, str(tmp_path / "track4"))
+    assert len(figs) == t
+    assert os.path.exists(tmp_path / "track4" / f"tracking_step_{t-1:03d}.png")
+
     viz.plot_state_tracking(state, pred, str(tmp_path / "traj.png"))
     assert os.path.exists(tmp_path / "traj.png")
 
