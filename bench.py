@@ -81,7 +81,8 @@ def scan_step_time(trainer, state, batch, iters: int = 20,
     return times[len(times) // 2]
 
 
-def measure_jax(warmup: int = 1, iters: int = 20, repeats: int = 3) -> float:
+def measure_jax(warmup: int = 1, iters: int = 20, repeats: int = 3,
+                compute_dtype: str = "bfloat16") -> float:
     import jax
 
     sys.path.insert(0, REPO)
@@ -94,6 +95,7 @@ def measure_jax(warmup: int = 1, iters: int = 20, repeats: int = 3) -> float:
         batch_size=BATCH,
         resampler_type="ot",
         measurement="cos",
+        compute_dtype=compute_dtype,
     )
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -167,7 +169,7 @@ def measure_torch_reference() -> float:
     return rate
 
 
-def _device_alive(timeout: int = 240) -> bool:
+def _device_alive(timeout: int = 480) -> bool:
     """Probe the accelerator in a subprocess: the remote-chip tunnel can die
     in ways that hang the first op forever; a hung bench is worse than a
     CPU-fallback number."""
@@ -193,8 +195,16 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
         cpu_fallback = True
-    value = (measure_jax(warmup=1, iters=2, repeats=1) if cpu_fallback
-             else measure_jax())
+    # headline = the framework's best-known-good configuration: bf16
+    # conv/matmul compute, measured quality-neutral on this task
+    # (experiments/bf16_bootstrap.json: 27.31 px vs f32's 27.64 px @300
+    # epochs). f32 (the reference's numerics) is reported alongside.
+    if cpu_fallback:
+        value = measure_jax(warmup=1, iters=2, repeats=1)
+        value_f32 = None
+    else:
+        value = measure_jax()
+        value_f32 = measure_jax(compute_dtype="float32")
     try:
         baseline = measure_torch_reference()
         vs = value / baseline
@@ -202,15 +212,18 @@ def main() -> None:
         print(f"# baseline measurement failed: {e!r}", file=sys.stderr)
         vs = 1.0
     metric = ("particle-transitions/sec/chip (full train step, "
-              "B=32 N=100 T=50, OT resampling)")
+              "B=32 N=100 T=50, OT resampling, bf16 compute)")
     if cpu_fallback:
         metric += " [CPU FALLBACK - accelerator unreachable]"
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(value, 1),
         "unit": "transitions/s",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    if value_f32 is not None:
+        out["f32_value"] = round(value_f32, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

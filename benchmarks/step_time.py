@@ -23,6 +23,10 @@ def main() -> None:
     p.add_argument("--seq-len", type=int, default=25)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--use-pallas", action="store_true",
+                   help="fused coupling chain + streaming Sinkhorn kernels")
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
 
     import jax
@@ -35,7 +39,8 @@ def main() -> None:
         measurement=args.measurement, nf_dyn=args.nf_dyn,
         nf_cond=args.nf_cond, resampler_type=args.resampler,
         batch_size=args.batch, num_particles=args.particles,
-        sequence_length=args.seq_len,
+        sequence_length=args.seq_len, use_pallas=args.use_pallas,
+        compute_dtype=args.compute_dtype,
     )
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -51,7 +56,9 @@ def main() -> None:
                         repeats=args.repeats)
     rate = args.batch * args.particles * t / dt
     print(f"measurement={args.measurement} nf_dyn={args.nf_dyn} "
-          f"resampler={args.resampler} B={args.batch} N={args.particles} "
+          f"nf_cond={args.nf_cond} resampler={args.resampler} "
+          f"pallas={args.use_pallas} dtype={args.compute_dtype} "
+          f"B={args.batch} N={args.particles} "
           f"T={t}: {dt*1e3:.1f} ms/step ({rate/1e6:.2f}M pt/s)")
 
 

@@ -149,6 +149,7 @@ def main() -> None:
     key = jax.random.PRNGKey(1)
     rng = np.random.default_rng(0)
     history = []
+    resample_hist = []
     t_start = time.time()
 
     from nfdpf_tpu.utils.checkpoint import (latest_checkpoint,
@@ -166,6 +167,7 @@ def main() -> None:
             state = tree["state"]
             start_epoch = int(tree["epoch"]) + 1
             history = [float(x) for x in tree["history"][:start_epoch]]
+            resample_hist = [-1.0] * start_epoch  # not carried in the ckpt
             print(f"resumed from {latest}: epoch {start_epoch}, "
                   f"best so far {min(history):.3f}px", flush=True)
         else:
@@ -221,8 +223,11 @@ def main() -> None:
             evals.append(float(em["loss_sup"]))
         rmse = float(np.mean(evals))
         history.append(rmse)
+        rs = float(m.get("resample_count", -1.0))
+        resample_hist.append(rs)
         print(f"epoch {epoch}: train_loss={float(m['loss']):.3f} "
-              f"val_RMSE={rmse:.3f}px  [{time.time()-t_start:.0f}s]",
+              f"val_RMSE={rmse:.3f}px resample={rs:.1f}/{args.seq_len}  "
+              f"[{time.time()-t_start:.0f}s]",
               flush=True)
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
         with open(args.out, "w") as f:
@@ -237,6 +242,8 @@ def main() -> None:
                        "seed": args.seed,
                        "val_rmse_per_epoch": history,
                        "best_val_rmse": min(history),
+                       # mean ESS-gate firings per T-step batch pass (train)
+                       "train_resamples_per_pass": resample_hist,
                        "wall_seconds": time.time() - t_start}, f, indent=2)
         hpad = np.zeros((args.epochs,), np.float64)
         hpad[: len(history)] = history

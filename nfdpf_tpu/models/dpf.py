@@ -64,6 +64,9 @@ class FilterOutput(NamedTuple):
     priors: Array           # (B, T, N) prior log terms (zeros if NF off)
     init_weights_log: Array  # (B, N)
     obs_likelihood: Array   # scalar: Σ_t mean(log w̃_t)  (`DPFs.py:191`)
+    resampled: Array        # (T,) bool: ESS gate fired at step t
+                            # (`DPFs.py:163-170`) — resampling-activity
+                            # evidence for parity protocols
 
 
 def particle_initialization(
@@ -308,8 +311,9 @@ class DPF:
             key, k_rs, k_motion = jax.random.split(key, 3)
 
             ess = effective_sample_size(probs)
+            gate = ess < cfg.ess_threshold * n
             particles_r, probs_r, idx = jax.lax.cond(
-                ess < cfg.ess_threshold * n,
+                gate,
                 lambda: self._resample(k_rs, particles, probs),
                 lambda: (
                     particles,
@@ -347,7 +351,8 @@ class DPF:
             propose = constrain(propose, self.mesh, "data", "particle")
             new_probs = constrain(new_probs, self.mesh, "data", "particle")
             carry = (propose, new_probs, new_vel, obs_lik, key)
-            ys = (propose, new_probs, noise, lki_log, idx, jac, prior_log)
+            ys = (propose, new_probs, noise, lki_log, idx, jac, prior_log,
+                  gate)
             return carry, ys
 
         if cfg.remat_scan_step:
@@ -359,7 +364,8 @@ class DPF:
         )
         carry0 = (particles, probs, vel0, jnp.asarray(0.0), k_scan)
         carry, ys = jax.lax.scan(step, carry0, xs)
-        (p_hist, w_hist, n_hist, l_hist, i_hist, j_hist, pr_hist) = ys
+        (p_hist, w_hist, n_hist, l_hist, i_hist, j_hist, pr_hist,
+         g_hist) = ys
 
         t_to_b = lambda a: jnp.moveaxis(a, 0, 1)  # noqa: E731  (T,B,...)→(B,T,...)
         return FilterOutput(
@@ -372,6 +378,7 @@ class DPF:
             priors=t_to_b(pr_hist),
             init_weights_log=init_w_log,
             obs_likelihood=carry[3],
+            resampled=g_hist,
         )
 
     def filter(

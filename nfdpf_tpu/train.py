@@ -144,6 +144,9 @@ class Trainer:
             "loss_ae": loss_ae,
             "loss_pseudolik": loss_pl,
             "obs_likelihood": out.obs_likelihood,
+            # steps (of T) on which the ESS gate fired (`DPFs.py:163-170`)
+            # — resampling-activity evidence for parity protocols
+            "resample_count": jnp.sum(out.resampled.astype(jnp.float32)),
             "predictions": predictions,
             "filter_out": out,
             "new_rest": new_rest,
@@ -175,6 +178,7 @@ class Trainer:
                 "loss_ae": aux["loss_ae"],
                 "loss_pseudolik": aux["loss_pseudolik"],
                 "obs_likelihood": aux["obs_likelihood"],
+                "resample_count": aux["resample_count"],
             }
             return new_state, metrics
 
@@ -189,6 +193,7 @@ class Trainer:
                 "loss_sup": aux["loss_sup"],
                 "loss_ae": aux["loss_ae"],
                 "obs_likelihood": aux["obs_likelihood"],
+                "resample_count": aux["resample_count"],
             }, aux
 
         return eval_step
@@ -237,6 +242,7 @@ class Trainer:
                     "loss_ae": aux["loss_ae"],
                     "loss_pseudolik": aux["loss_pseudolik"],
                     "obs_likelihood": aux["obs_likelihood"],
+                "resample_count": aux["resample_count"],
                 }
             (state, _), metrics = jax.lax.scan(body, (state, key), idx)
             return state, jax.tree_util.tree_map(jnp.mean, metrics)

@@ -174,3 +174,21 @@ def test_remat_scan_step_identical_results():
                       jax.tree_util.tree_leaves(outs[1][1])):
         np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_resampled_gate_history():
+    """FilterOutput.resampled records ESS-gate firings (`DPFs.py:163-170`):
+    with uniform init over the full image the weights collapse fast, so the
+    gate must fire at least once; with a huge threshold it fires every step;
+    with threshold 0 it never fires."""
+    key = jax.random.PRNGKey(0)
+    for thr, pred in ((1.1, "all"), (0.0, "none")):
+        cfg = _small_cfg(ess_threshold=thr, init_with_true_state=False)
+        engine = DPF(cfg)
+        variables = engine.init(jax.random.PRNGKey(1))
+        images, start, vel = _synthetic_batch(jax.random.PRNGKey(2), cfg)
+        out, _, _ = engine.filter(variables, images, start, vel, key,
+                                  train=False)
+        got = np.asarray(out.resampled)
+        assert got.shape == (cfg.sequence_length,)
+        assert got.all() if pred == "all" else not got.any()
