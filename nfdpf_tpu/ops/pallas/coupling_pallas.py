@@ -12,9 +12,13 @@ arbitrary context width, K chain blocks, forward and inverse.  Weights are
 packed from a ``FlowChain`` variables pytree by ``pack_chain_params``.
 
 The kernel computes identically to ``FlowChain.forward/inverse`` (verified
-in tests/test_pallas_coupling.py); gradients fall back to the XLA path via
-``jax.custom_vjp`` with a dense VJP — fusing the backward too is future
-work, and the forward is the inference/filtering hot path.
+in tests/test_pallas_coupling.py).  Gradients run through a fused Pallas
+BACKWARD kernel (``_chain_bwd_kernel``): round-4 measurement showed the
+earlier dense-VJP fallback made training with the fused forward a net loss
+(58.5 vs 46.2 ms/step at CNF N=1000), so the backward recomputes the
+forward in VMEM and emits input/context grads plus per-grid-block
+weight-grad partials in one pass; gradient parity vs autodiff of the dense
+chain is tested to 2e-5.
 """
 
 from __future__ import annotations
