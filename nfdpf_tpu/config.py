@@ -105,7 +105,17 @@ class DPFConfig:
     mesh_data: int = 1                 # mesh size along the batch ('data') axis
     mesh_particle: int = 1             # mesh size along the 'particle' axis
     compute_dtype: str = "float32"     # float32 | bfloat16 for conv/matmul compute
-    use_pallas: bool = False           # route hot ops through Pallas kernels
+    use_pallas: bool = False           # route OT resampling through the
+                                       # streaming Pallas Sinkhorn (required
+                                       # for OT at N≥~8k)
+    pallas_coupling: bool = False      # fuse the RealNVP coupling chains
+                                       # into Pallas kernels too.  Off by
+                                       # default: measured on-chip (round
+                                       # 4), XLA's dense path wins in
+                                       # training at hidden_dim=8 (46.2 vs
+                                       # 127 ms/step, CNF N=1000) — the
+                                       # chain's MLPs are too small for
+                                       # kernel fusion to pay
     remat_scan_step: bool = False      # jax.checkpoint each filter step (BPTT memory)
     torch_init: bool = False           # torch-default U(±1/√fan_in) init for the
                                        # encoder/decoder/particle-enc Dense+Conv
@@ -198,6 +208,8 @@ def parse_args(argv=None) -> DPFConfig:
     p.add_argument("--mesh-particle", dest="mesh_particle", type=int, default=1)
     p.add_argument("--compute-dtype", dest="compute_dtype", type=str, default="float32")
     p.add_argument("--use-pallas", dest="use_pallas", action="store_true")
+    p.add_argument("--pallas-coupling", dest="pallas_coupling",
+                   action="store_true")
     p.add_argument("--torch-init", dest="torch_init", action="store_true")
     p.add_argument("--remat", dest="remat_scan_step", action="store_true")
     p.add_argument("--no-fused-epoch", dest="fused_epoch", action="store_false",

@@ -290,7 +290,7 @@ class DPF:
         # outside the scan (loop-invariant; gradients flow back through the
         # pack).  state_dim 2 is the kernel's supported configuration.
         fused_dyn = fused_cond = None
-        if cfg.use_pallas and cfg.state_dim == 2:
+        if cfg.pallas_coupling and cfg.state_dim == 2:
             from nfdpf_tpu.ops.pallas.coupling_pallas import pack_chain_params
 
             if cfg.nf_dyn:

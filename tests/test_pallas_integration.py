@@ -35,7 +35,7 @@ def test_use_pallas_filter_matches_xla_path():
                 nf_dyn=True, nf_cond=True, measurement="cos",
                 resampler_type="soft")
     cfg_ref = DPFConfig(**base)
-    cfg_pl = DPFConfig(use_pallas=True, **base)
+    cfg_pl = DPFConfig(use_pallas=True, pallas_coupling=True, **base)
 
     engine_ref = DPF(cfg_ref)
     engine_pl = DPF(cfg_pl)
@@ -58,7 +58,8 @@ def test_use_pallas_filter_matches_xla_path():
 def test_use_pallas_gradients_flow_to_flow_params():
     cfg = DPFConfig(num_particles=16, sequence_length=3, batch_size=2,
                     nf_dyn=True, nf_cond=True, measurement="cos",
-                    resampler_type="soft", use_pallas=True)
+                    resampler_type="soft", use_pallas=True,
+                    pallas_coupling=True)
     engine = DPF(cfg)
     variables = engine.init(jax.random.PRNGKey(0))
     images, start, vel = _batch(jax.random.PRNGKey(1), cfg)
