@@ -157,23 +157,39 @@ def main() -> None:
                                             save_checkpoint)
 
     ckpt_dir = args.ckpt_dir or (args.out + ".ckpt")
+    # fixed-size history pad, independent of --epochs, so a checkpoint can be
+    # restored by a resuming run launched with a different --epochs value
+    HIST_PAD = 4096
+    assert args.epochs <= HIST_PAD
     start_epoch = 0
     if args.resume:
         latest = latest_checkpoint(ckpt_dir)
         if latest is not None:
-            tree = restore_checkpoint(latest, {
-                "state": state, "epoch": 0,
-                "history": np.zeros((args.epochs,), np.float64)})
+            try:
+                tree = restore_checkpoint(latest, {
+                    "state": state, "epoch": 0, "hist_len": 0,
+                    "history": np.zeros((HIST_PAD,), np.float64),
+                    "resample_hist": np.zeros((HIST_PAD,), np.float64)})
+                n = int(tree["hist_len"])
+                history = [float(x) for x in tree["history"][:n]]
+                resample_hist = [float(x) for x in tree["resample_hist"][:n]]
+            except Exception:  # legacy ckpt: (--epochs,)-padded, no rs hist
+                tree = restore_checkpoint(latest, {
+                    "state": state, "epoch": 0,
+                    "history": np.zeros((args.epochs,), np.float64)})
+                n = int(tree["epoch"]) + 1
+                history = [float(x) for x in tree["history"][:n]]
+                resample_hist = [-1.0] * n  # sentinel: lost by legacy format
             state = tree["state"]
             start_epoch = int(tree["epoch"]) + 1
-            history = [float(x) for x in tree["history"][:start_epoch]]
-            resample_hist = [-1.0] * start_epoch  # not carried in the ckpt
             print(f"resumed from {latest}: epoch {start_epoch}, "
                   f"best so far {min(history):.3f}px", flush=True)
         else:
             print(f"no checkpoint in {ckpt_dir}; starting fresh", flush=True)
 
-    if args.pretrain_epochs > 0:
+    # pretraining happens once, before epoch 0 — a resumed chunk must not
+    # re-apply it to the restored e2e state
+    if args.pretrain_epochs > 0 and start_epoch == 0:
         ae_step = trainer.make_ae_pretrain_step()
         t = args.seq_len
         for epoch in range(args.pretrain_epochs):
@@ -245,10 +261,14 @@ def main() -> None:
                        # mean ESS-gate firings per T-step batch pass (train)
                        "train_resamples_per_pass": resample_hist,
                        "wall_seconds": time.time() - t_start}, f, indent=2)
-        hpad = np.zeros((args.epochs,), np.float64)
+        hpad = np.zeros((HIST_PAD,), np.float64)
         hpad[: len(history)] = history
+        rpad = np.zeros((HIST_PAD,), np.float64)
+        rpad[: len(resample_hist)] = resample_hist
         save_checkpoint(os.path.join(ckpt_dir, f"ckpt_{epoch}"),
-                        {"state": state, "epoch": epoch, "history": hpad})
+                        {"state": state, "epoch": epoch,
+                         "hist_len": len(history),
+                         "history": hpad, "resample_hist": rpad})
         prev = os.path.join(ckpt_dir, f"ckpt_{epoch - 1}")
         if os.path.isdir(prev):
             import shutil

@@ -12,6 +12,8 @@
 set -u
 TOTAL=$1; CHUNK=$2; shift 2
 cd "$(dirname "$0")/.."
+FAILS=0
+MAX_FAILS=3
 while true; do
   timeout 7200 python experiments/rmse_run.py --epochs "$TOTAL" \
     --epochs-per-proc "$CHUNK" --resume "$@"
@@ -27,7 +29,15 @@ EOF
   echo "[run_chunked] chunk rc=$rc, epochs done: $DONE/$TOTAL"
   if [ "$DONE" -ge "$TOTAL" ]; then echo "[run_chunked] complete"; break; fi
   if [ "$rc" -ne 0 ] && [ "$rc" -ne 124 ]; then
-    echo "[run_chunked] non-timeout failure (rc=$rc); retrying once after 30s"
+    FAILS=$((FAILS + 1))
+    if [ "$FAILS" -ge "$MAX_FAILS" ]; then
+      echo "[run_chunked] $FAILS consecutive non-timeout failures; giving up"
+      exit 1
+    fi
+    echo "[run_chunked] non-timeout failure (rc=$rc);" \
+         "retry $FAILS/$MAX_FAILS after 30s"
     sleep 30
+  else
+    FAILS=0
   fi
 done

@@ -243,3 +243,34 @@ def generate_dataset(
             )
         written += chunk
         index += 1
+
+
+def _cli() -> None:
+    """Standalone dataset-generation entry, parity with the reference's
+    ``python data/disk/create_dataset.py`` (`create_dataset.py:283-326`;
+    same defaults: 1000 examples, file_size 500, 25 distractors, pos-noise
+    2.0, T=50, 128px).  Run as ``python -m nfdpf_tpu.data.simulator``."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=_cli.__doc__)
+    p.add_argument("--out-dir", default="./TwentyfiveDistractors")
+    p.add_argument("--num-examples", type=int, default=1000)
+    p.add_argument("--file-size", type=int, default=500)
+    p.add_argument("--num-distractors", type=int, default=25)
+    p.add_argument("--pos-noise", type=float, default=2.0)
+    p.add_argument("--sequence-length", type=int, default=50)
+    p.add_argument("--im-size", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--name", default="toy")
+    a = p.parse_args()
+    generate_dataset(a.out_dir, num_examples=a.num_examples,
+                     file_size=a.file_size,
+                     num_distractors=a.num_distractors,
+                     pos_noise=a.pos_noise,
+                     sequence_length=a.sequence_length,
+                     im_size=a.im_size, seed=a.seed, name=a.name)
+    print(f"wrote dataset shards to {a.out_dir}")
+
+
+if __name__ == "__main__":
+    _cli()

@@ -242,7 +242,7 @@ class Trainer:
                     "loss_ae": aux["loss_ae"],
                     "loss_pseudolik": aux["loss_pseudolik"],
                     "obs_likelihood": aux["obs_likelihood"],
-                "resample_count": aux["resample_count"],
+                    "resample_count": aux["resample_count"],
                 }
             (state, _), metrics = jax.lax.scan(body, (state, key), idx)
             return state, jax.tree_util.tree_map(jnp.mean, metrics)
