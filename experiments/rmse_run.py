@@ -69,6 +69,12 @@ def main() -> None:
     p.add_argument("--use-pallas", action="store_true",
                    help="route OT resampling through the streaming Pallas "
                         "Sinkhorn (O(N·d) memory — required for OT at N≥4k)")
+    p.add_argument("--warm-start", action="store_true",
+                   help="carry Sinkhorn potentials across ESS-gate firings "
+                        "(config-5 cost lever; needs --use-pallas + ot)")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint each filter step: trades FLOPs for "
+                        "BPTT memory, allowing larger batch at N=10k")
     p.add_argument("--no-fused", action="store_true",
                    help="dispatch one jitted step per batch instead of the "
                         "fused whole-epoch scan (the tunnel compile helper "
@@ -137,6 +143,8 @@ def main() -> None:
         epsilon=args.epsilon, ess_threshold=args.ess_threshold,
         compute_dtype=args.compute_dtype, torch_init=args.torch_init,
         use_pallas=args.use_pallas,
+        sinkhorn_warm_start=args.warm_start,
+        remat_scan_step=args.remat,
         **CONFIGS[args.config],
     )
     trainer = Trainer(cfg)
@@ -150,6 +158,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
     history = []
     resample_hist = []
+    sinkhorn_hist = []
     t_start = time.time()
 
     from nfdpf_tpu.utils.checkpoint import (latest_checkpoint,
@@ -169,10 +178,12 @@ def main() -> None:
                 tree = restore_checkpoint(latest, {
                     "state": state, "epoch": 0, "hist_len": 0,
                     "history": np.zeros((HIST_PAD,), np.float64),
-                    "resample_hist": np.zeros((HIST_PAD,), np.float64)})
+                    "resample_hist": np.zeros((HIST_PAD,), np.float64),
+                    "sinkhorn_hist": np.zeros((HIST_PAD,), np.float64)})
                 n = int(tree["hist_len"])
                 history = [float(x) for x in tree["history"][:n]]
                 resample_hist = [float(x) for x in tree["resample_hist"][:n]]
+                sinkhorn_hist = [float(x) for x in tree["sinkhorn_hist"][:n]]
             except Exception:  # legacy ckpt: (--epochs,)-padded, no rs hist
                 tree = restore_checkpoint(latest, {
                     "state": state, "epoch": 0,
@@ -180,6 +191,7 @@ def main() -> None:
                 n = int(tree["epoch"]) + 1
                 history = [float(x) for x in tree["history"][:n]]
                 resample_hist = [-1.0] * n  # sentinel: lost by legacy format
+                sinkhorn_hist = [0.0] * n
             state = tree["state"]
             start_epoch = int(tree["epoch"]) + 1
             print(f"resumed from {latest}: epoch {start_epoch}, "
@@ -241,8 +253,11 @@ def main() -> None:
         history.append(rmse)
         rs = float(m.get("resample_count", -1.0))
         resample_hist.append(rs)
+        si = float(m.get("sinkhorn_iters", 0.0))
+        sinkhorn_hist.append(si)
         print(f"epoch {epoch}: train_loss={float(m['loss']):.3f} "
-              f"val_RMSE={rmse:.3f}px resample={rs:.1f}/{args.seq_len}  "
+              f"val_RMSE={rmse:.3f}px resample={rs:.1f}/{args.seq_len} "
+              f"sk_iters={si:.0f}  "
               f"[{time.time()-t_start:.0f}s]",
               flush=True)
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
@@ -260,15 +275,23 @@ def main() -> None:
                        "best_val_rmse": min(history),
                        # mean ESS-gate firings per T-step batch pass (train)
                        "train_resamples_per_pass": resample_hist,
+                       "warm_start": args.warm_start,
+                       "remat": args.remat,
+                       # mean Sinkhorn loop iterations per pass (0 when not
+                       # on the streaming-OT path)
+                       "train_sinkhorn_iters_per_pass": sinkhorn_hist,
                        "wall_seconds": time.time() - t_start}, f, indent=2)
         hpad = np.zeros((HIST_PAD,), np.float64)
         hpad[: len(history)] = history
         rpad = np.zeros((HIST_PAD,), np.float64)
         rpad[: len(resample_hist)] = resample_hist
+        spad = np.zeros((HIST_PAD,), np.float64)
+        spad[: len(sinkhorn_hist)] = sinkhorn_hist
         save_checkpoint(os.path.join(ckpt_dir, f"ckpt_{epoch}"),
                         {"state": state, "epoch": epoch,
                          "hist_len": len(history),
-                         "history": hpad, "resample_hist": rpad})
+                         "history": hpad, "resample_hist": rpad,
+                         "sinkhorn_hist": spad})
         prev = os.path.join(ckpt_dir, f"ckpt_{epoch - 1}")
         if os.path.isdir(prev):
             import shutil

@@ -56,6 +56,18 @@ class DPFConfig:
     # Reference stops the Sinkhorn loop once ANY batch row converges
     # ("all rows still running" continue-condition, resamplers.py:126-129).
     sinkhorn_convergence: str = "all"  # all | any
+    # Carry Sinkhorn potentials across ESS-gate firings in the filter scan
+    # and start the next firing's loop from them at the target ε instead of
+    # re-annealing from diameter² every call (resamplers.py:117-118).  The
+    # annealing loop is fully detached, so this changes iteration count
+    # only, not gradient topology.  Streaming-Pallas single-device OT path
+    # only (the BASELINE config-5 cost lever); default off for reference
+    # schedule parity.
+    sinkhorn_warm_start: bool = False
+    # warm firings re-anneal from this multiple of the target ε (not from
+    # diameter²); 1.0 = no annealing tail (measured slower — see
+    # ops/pallas/sinkhorn_pallas.py)
+    sinkhorn_warm_eps_factor: float = 16.0
 
     # --- optimisation (arguments.py:42-50) ---
     batch_size: int = 32

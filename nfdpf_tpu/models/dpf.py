@@ -67,6 +67,10 @@ class FilterOutput(NamedTuple):
     resampled: Array        # (T,) bool: ESS gate fired at step t
                             # (`DPFs.py:163-170`) — resampling-activity
                             # evidence for parity protocols
+    sinkhorn_iters: Array   # (T,) int32: Sinkhorn loop iterations spent at
+                            # step t (0 when the gate did not fire, or on
+                            # non-streaming-OT paths) — the config-5 cost
+                            # telemetry behind the warm-start lever
 
 
 def particle_initialization(
@@ -177,6 +181,41 @@ class DPF:
         return lambda enc, particles: self.measurement.apply(
             variables["measurement"], enc, particles
         )
+
+    def _streaming_ot_single(self) -> bool:
+        """True when resampling dispatches to the SINGLE-DEVICE streaming
+        Pallas Sinkhorn — the path that supports potential warm-starting and
+        iteration telemetry."""
+        cfg = self.config
+        if not (cfg.resampler_type == "ot" and cfg.use_pallas
+                and not cfg.ot_transport_grad):
+            return False
+        if self.mesh is None:
+            return True
+        from nfdpf_tpu.parallel.mesh import DATA_AXIS, PARTICLE_AXIS
+
+        return (self.mesh.shape[DATA_AXIS] == 1
+                and self.mesh.shape[PARTICLE_AXIS] == 1)
+
+    def _resample_streaming(self, particles, probs, warm_state=None):
+        """Single-device streaming-Pallas OT resample with extras.
+
+        warm_state: optional ((B, 4, N) potentials, scalar-bool valid) from
+        the previous firing (config ``sinkhorn_warm_start``).
+        Returns (particles', probs', idx, potentials, iters).
+        """
+        from nfdpf_tpu.ops.pallas.sinkhorn_pallas import ot_resample_pallas
+
+        cfg = self.config
+        p, w, idx, extras = ot_resample_pallas(
+            particles, probs, eps=cfg.epsilon, scaling=cfg.scaling,
+            threshold=cfg.threshold, max_iter=cfg.max_iter,
+            convergence=cfg.sinkhorn_convergence,
+            warm_start=warm_state,
+            warm_eps_factor=cfg.sinkhorn_warm_eps_factor,
+            return_extras=True,
+        )
+        return p, w, idx, extras["potentials"], extras["iters"]
 
     def _resample(self, key, particles, probs):
         cfg = self.config
@@ -305,24 +344,52 @@ class DPF:
                     cfg.flow_hidden_dim,
                 )
 
+        streaming_ot = self._streaming_ot_single()
+        warm = cfg.sinkhorn_warm_start
+        if warm and not streaming_ot:
+            raise ValueError(
+                "sinkhorn_warm_start requires the single-device streaming "
+                "Pallas OT path (resampler_type='ot', use_pallas=True, "
+                "ot_transport_grad=False, unsharded mesh)"
+            )
+
         def step(carry, xs):
-            particles, probs, vel, obs_lik, key = carry
+            if streaming_ot:
+                particles, probs, vel, obs_lik, key, pot, pot_valid = carry
+            else:
+                particles, probs, vel, obs_lik, key = carry
             enc_t, vel_t = xs
             key, k_rs, k_motion = jax.random.split(key, 3)
 
             ess = effective_sample_size(probs)
             gate = ess < cfg.ess_threshold * n
-            particles_r, probs_r, idx = jax.lax.cond(
-                gate,
-                lambda: self._resample(k_rs, particles, probs),
-                lambda: (
-                    particles,
-                    probs,
-                    jnp.broadcast_to(
-                        jnp.arange(n, dtype=jnp.int32)[None, :], (batch, n)
-                    ),
-                ),
+            idx0 = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[None, :], (batch, n)
             )
+            if streaming_ot:
+                # potentials from the previous firing ride the carry; the
+                # skip branch passes them through untouched, so warm starts
+                # survive gate-closed steps
+                def _fire():
+                    p, w, i, pots, iters = self._resample_streaming(
+                        particles, probs,
+                        warm_state=(pot, pot_valid) if warm else None,
+                    )
+                    return p, w, i, pots, jnp.asarray(True), iters
+                particles_r, probs_r, idx, pot, pot_valid, sk_iters = (
+                    jax.lax.cond(
+                        gate, _fire,
+                        lambda: (particles, probs, idx0, pot, pot_valid,
+                                 jnp.asarray(0, jnp.int32)),
+                    )
+                )
+            else:
+                particles_r, probs_r, idx = jax.lax.cond(
+                    gate,
+                    lambda: self._resample(k_rs, particles, probs),
+                    lambda: (particles, probs, idx0),
+                )
+                sk_iters = jnp.asarray(0, jnp.int32)
             log_probs_r = jnp.log(probs_r)
 
             particles_phys, noise = motion_update(
@@ -350,9 +417,13 @@ class DPF:
 
             propose = constrain(propose, self.mesh, "data", "particle")
             new_probs = constrain(new_probs, self.mesh, "data", "particle")
-            carry = (propose, new_probs, new_vel, obs_lik, key)
+            if streaming_ot:
+                carry = (propose, new_probs, new_vel, obs_lik, key, pot,
+                         pot_valid)
+            else:
+                carry = (propose, new_probs, new_vel, obs_lik, key)
             ys = (propose, new_probs, noise, lki_log, idx, jac, prior_log,
-                  gate)
+                  gate, sk_iters)
             return carry, ys
 
         if cfg.remat_scan_step:
@@ -363,9 +434,12 @@ class DPF:
             jnp.moveaxis(vel_seq, 0, 1),     # (T, B, 2)
         )
         carry0 = (particles, probs, vel0, jnp.asarray(0.0), k_scan)
+        if streaming_ot:
+            carry0 = carry0 + (
+                jnp.zeros((batch, 4, n), jnp.float32), jnp.asarray(False))
         carry, ys = jax.lax.scan(step, carry0, xs)
         (p_hist, w_hist, n_hist, l_hist, i_hist, j_hist, pr_hist,
-         g_hist) = ys
+         g_hist, sk_hist) = ys
 
         t_to_b = lambda a: jnp.moveaxis(a, 0, 1)  # noqa: E731  (T,B,...)→(B,T,...)
         return FilterOutput(
@@ -379,6 +453,7 @@ class DPF:
             init_weights_log=init_w_log,
             obs_likelihood=carry[3],
             resampled=g_hist,
+            sinkhorn_iters=sk_hist,
         )
 
     def filter(

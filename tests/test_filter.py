@@ -192,3 +192,54 @@ def test_resampled_gate_history():
         got = np.asarray(out.resampled)
         assert got.shape == (cfg.sequence_length,)
         assert got.all() if pred == "all" else not got.any()
+
+
+def test_filter_warm_start_streaming_ot():
+    """sinkhorn_warm_start carries potentials through the scan: the filter
+    runs under jit, emits per-step iteration telemetry, and warm firings
+    after the first cost fewer Sinkhorn iterations (the config-5 lever)."""
+    import nfdpf_tpu.ops.pallas.sinkhorn_pallas as sp
+
+    old = sp._INTERPRET
+    sp._INTERPRET = True
+    try:
+        key = jax.random.PRNGKey(0)
+        outs = {}
+        for warm in (False, True):
+            cfg = _small_cfg(
+                resampler_type="ot", use_pallas=True,
+                sinkhorn_warm_start=warm,
+                ess_threshold=1.1,   # fire every step
+                init_with_true_state=False,
+            )
+            engine = DPF(cfg)
+            variables = engine.init(jax.random.PRNGKey(1))
+            images, start, vel = _synthetic_batch(jax.random.PRNGKey(2), cfg)
+            out, _, _ = engine.filter(variables, images, start, vel, key,
+                                      train=False)
+            iters = np.asarray(out.sinkhorn_iters)
+            assert iters.shape == (cfg.sequence_length,)
+            assert (iters > 0).all()          # gate fired every step
+            assert np.isfinite(np.asarray(out.particles)).all()
+            outs[warm] = iters
+        # first firing is cold either way
+        assert outs[True][0] == outs[False][0]
+        # warm continuation is at worst neutral in this adversarial toy
+        # regime (16 untrained particles, firing every step; several
+        # firings saturate max_iter on BOTH sides).  The iteration
+        # REDUCTION contract is proven in
+        # tests/test_pallas.py::test_warm_start_same_fixed_point_fewer_iters
+        # and measured in the real N=10k regime (BASELINE.md config 5).
+        assert outs[True][1:].sum() <= outs[False][1:].sum() * 1.1
+    finally:
+        sp._INTERPRET = old
+
+
+def test_filter_warm_start_requires_streaming_path():
+    cfg = _small_cfg(resampler_type="soft", sinkhorn_warm_start=True)
+    engine = DPF(cfg)
+    variables = engine.init(jax.random.PRNGKey(1))
+    images, start, vel = _synthetic_batch(jax.random.PRNGKey(2), cfg)
+    with pytest.raises(ValueError, match="warm_start"):
+        engine.filter(variables, images, start, vel, jax.random.PRNGKey(0),
+                      train=False)
