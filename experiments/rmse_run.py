@@ -75,6 +75,10 @@ def main() -> None:
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each filter step: trades FLOPs for "
                         "BPTT memory, allowing larger batch at N=10k")
+    p.add_argument("--encode-per-step", action="store_true",
+                   help="reference-parity BN ablation: conv encoder inside "
+                        "the time loop + separate AE-loss encode "
+                        "(`DPFs.py:177`, `losses.py:5-16`)")
     p.add_argument("--no-fused", action="store_true",
                    help="dispatch one jitted step per batch instead of the "
                         "fused whole-epoch scan (the tunnel compile helper "
@@ -145,6 +149,7 @@ def main() -> None:
         use_pallas=args.use_pallas,
         sinkhorn_warm_start=args.warm_start,
         remat_scan_step=args.remat,
+        encode_per_step=args.encode_per_step,
         **CONFIGS[args.config],
     )
     trainer = Trainer(cfg)
@@ -185,9 +190,12 @@ def main() -> None:
                 resample_hist = [float(x) for x in tree["resample_hist"][:n]]
                 sinkhorn_hist = [float(x) for x in tree["sinkhorn_hist"][:n]]
             except Exception:  # legacy ckpt: (--epochs,)-padded, no rs hist
+                from nfdpf_tpu.utils.checkpoint import checkpoint_metadata
+                meta = checkpoint_metadata(latest)
+                hist_shape = tuple(meta["history"].shape)
                 tree = restore_checkpoint(latest, {
                     "state": state, "epoch": 0,
-                    "history": np.zeros((args.epochs,), np.float64)})
+                    "history": np.zeros(hist_shape, np.float64)})
                 n = int(tree["epoch"]) + 1
                 history = [float(x) for x in tree["history"][:n]]
                 resample_hist = [-1.0] * n  # sentinel: lost by legacy format

@@ -68,6 +68,14 @@ class DPFConfig:
     # diameter²); 1.0 = no annealing tail (measured slower — see
     # ops/pallas/sinkhorn_pallas.py)
     sinkhorn_warm_eps_factor: float = 16.0
+    # Reference-parity ablation: run the conv encoder INSIDE the time loop
+    # (BN batch statistics over the B frames of each step, running stats
+    # updated per step — `DPFs.py:177`) and re-encode all frames for the AE
+    # loss (`losses.py:5-16`) instead of the TPU-first hoisted single conv
+    # pass whose BN statistics span all B·T frames.  Used to attribute the
+    # repo-vs-reference gap on the resampling-active anchors to BN
+    # statistics granularity.
+    encode_per_step: bool = False
 
     # --- optimisation (arguments.py:42-50) ---
     batch_size: int = 32

@@ -200,7 +200,7 @@ class DPF:
     def _resample_streaming(self, particles, probs, warm_state=None):
         """Single-device streaming-Pallas OT resample with extras.
 
-        warm_state: optional ((B, 4, N) potentials, scalar-bool valid) from
+        warm_state: optional ((B, 2, N) potentials, scalar-bool valid) from
         the previous firing (config ``sinkhorn_warm_start``).
         Returns (particles', probs', idx, potentials, iters).
         """
@@ -306,10 +306,23 @@ class DPF:
         vel_seq: Array,         # (B, T, 2) teacher-forced velocity inputs
         key: jax.Array,
         train: bool = True,
-    ) -> FilterOutput:
+        images_seq: Array | None = None,
+    ):
+        """Run the filter scan.
+
+        Default (``images_seq=None``): per-step encodings come from the
+        hoisted pre-scan conv pass; returns ``FilterOutput``.
+
+        ``images_seq`` set (reference-parity ablation ``encode_per_step``):
+        the conv encoder runs INSIDE the scan on each step's (B, H, W, 3)
+        frame — BN batch statistics over the B frames of that step, running
+        stats updated step-by-step, exactly the reference's per-step encode
+        (`DPFs.py:177`).  Returns ``(FilterOutput, encodings, batch_stats)``.
+        """
         cfg = self.config
-        batch, seq_len = encodings.shape[:2]
+        batch, seq_len = vel_seq.shape[:2]
         n = cfg.num_particles
+        per_step_encode = images_seq is not None
 
         from nfdpf_tpu.parallel.mesh import constrain
 
@@ -354,11 +367,24 @@ class DPF:
             )
 
         def step(carry, xs):
+            if per_step_encode:
+                enc_bn = carry[-1]
+                carry = carry[:-1]
             if streaming_ot:
                 particles, probs, vel, obs_lik, key, pot, pot_valid = carry
             else:
                 particles, probs, vel, obs_lik, key = carry
             enc_t, vel_t = xs
+            if per_step_encode:
+                # enc_t is this step's (B, H, W, 3) frame: encode it here
+                # with BN batch statistics over these B frames, threading the
+                # running stats through the carry (`DPFs.py:177` semantics)
+                enc_t, upd = self.encoder.apply(
+                    {"params": variables["encoder"]["params"],
+                     "batch_stats": enc_bn},
+                    enc_t, train=train, mutable=["batch_stats"],
+                )
+                enc_bn = upd["batch_stats"]
             key, k_rs, k_motion = jax.random.split(key, 3)
 
             ess = effective_sample_size(probs)
@@ -424,25 +450,35 @@ class DPF:
                 carry = (propose, new_probs, new_vel, obs_lik, key)
             ys = (propose, new_probs, noise, lki_log, idx, jac, prior_log,
                   gate, sk_iters)
+            if per_step_encode:
+                carry = carry + (enc_bn,)
+                ys = ys + (enc_t,)
             return carry, ys
 
         if cfg.remat_scan_step:
             step = jax.checkpoint(step)
 
         xs = (
-            jnp.moveaxis(encodings, 0, 1),   # (T, B, h)
+            jnp.moveaxis(images_seq if per_step_encode else encodings,
+                         0, 1),              # (T, B, h) or (T, B, H, W, 3)
             jnp.moveaxis(vel_seq, 0, 1),     # (T, B, 2)
         )
         carry0 = (particles, probs, vel0, jnp.asarray(0.0), k_scan)
         if streaming_ot:
             carry0 = carry0 + (
-                jnp.zeros((batch, 4, n), jnp.float32), jnp.asarray(False))
+                jnp.zeros((batch, 2, n), jnp.float32), jnp.asarray(False))
+        if per_step_encode:
+            carry0 = carry0 + (variables["encoder"]["batch_stats"],)
         carry, ys = jax.lax.scan(step, carry0, xs)
+        enc_hist = None
+        if per_step_encode:
+            enc_hist = ys[-1]
+            ys = ys[:-1]
         (p_hist, w_hist, n_hist, l_hist, i_hist, j_hist, pr_hist,
          g_hist, sk_hist) = ys
 
         t_to_b = lambda a: jnp.moveaxis(a, 0, 1)  # noqa: E731  (T,B,...)→(B,T,...)
-        return FilterOutput(
+        out = FilterOutput(
             particles=t_to_b(p_hist),
             weights=t_to_b(w_hist),
             noise=t_to_b(n_hist),
@@ -455,6 +491,9 @@ class DPF:
             resampled=g_hist,
             sinkhorn_iters=sk_hist,
         )
+        if per_step_encode:
+            return out, t_to_b(enc_hist), carry[-1]
+        return out
 
     def filter(
         self,
@@ -468,7 +507,18 @@ class DPF:
         """Full pass: encode all frames once, then scan.
 
         Returns (FilterOutput, encodings (B,T,h), new encoder batch_stats).
+
+        With ``config.encode_per_step`` and ``train=True``, the encoder runs
+        inside the scan instead (reference-parity ablation: per-step BN
+        batch statistics, `DPFs.py:177`).  Eval is unaffected — BN eval mode
+        uses running statistics, so hoisted and per-step encodes are the
+        same function.
         """
+        if self.config.encode_per_step and train:
+            return self.filter_from_encodings(
+                variables, None, start_state, vel_seq, key, train,
+                images_seq=images,
+            )
         b, t = images.shape[:2]
         enc_flat, bn = self.encode(
             variables, images.reshape((b * t,) + images.shape[2:]), train

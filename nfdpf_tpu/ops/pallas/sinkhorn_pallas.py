@@ -314,7 +314,7 @@ def ot_resample_pallas(
     global reduction of the while-loop condition).
 
     ``warm_start``: optional ``(potentials, valid)`` with potentials
-    (B, 4, N) — the (a_y, b_x, a_x, b_y) this resampler returned from the
+    (B, 2, N) — the (a_y, b_x) this resampler returned from the
     PREVIOUS ESS-gate firing — and ``valid`` a scalar bool (False on the
     first firing).  When valid, the annealing loop starts from those
     potentials at the TARGET ε instead of re-annealing from diameter²
@@ -327,7 +327,7 @@ def ot_resample_pallas(
     point being approximated (symmetric Sinkhorn at target ε, threshold-
     converged) are untouched.
 
-    ``return_extras``: also return ``{"potentials": (B, 4, N),
+    ``return_extras``: also return ``{"potentials": (B, 2, N),
     "iters": scalar int32}`` for warm-start carry and cost telemetry.
     """
     from nfdpf_tpu.ops.sinkhorn import diameter, max_min
@@ -352,16 +352,22 @@ def ot_resample_pallas(
         e, scaled_x, scaled_x, fvecs
     )
 
+    # Only (a_y, b_x) are live state: the reference's symmetric loop also
+    # carries (a_x, b_y) — the self-transport "xx"/"yy" potentials — but
+    # they never influence a_y/b_x (each updates only from itself), the
+    # convergence test reads only a_y/b_x diffs, and the transport assembly
+    # consumes only (a_y, b_x) (`resamplers.py:190-191` discards them:
+    # ``alpha, beta, _, _, _``).  They are a Sinkhorn-divergence debiasing
+    # vestige — dead in the resampling use.  Dropping them HALVES the fused
+    # kernel's group count (the dominant per-iteration cost) while leaving
+    # the a_y/b_x trajectories bit-identical.
     init = sm4(eps0, jnp.stack([logw_sg, uniform_logw], axis=1))
     a_y, b_x = init[:, 0], init[:, 1]
-    a_x, b_y = a_y, b_x
     if warm_start is not None:
         pots_prev, valid = warm_start
         pots_prev = sg(pots_prev)
         a_y = jnp.where(valid, pots_prev[:, 0], a_y)
         b_x = jnp.where(valid, pots_prev[:, 1], b_x)
-        a_x = jnp.where(valid, pots_prev[:, 2], a_x)
-        b_y = jnp.where(valid, pots_prev[:, 3], b_y)
         # keep a SHORT annealing tail (from warm_eps_factor·ε_target instead
         # of diameter²): fixed-ε Sinkhorn at small ε converges slowly when
         # the warm guess is stale (weights re-degenerate between firings),
@@ -374,7 +380,7 @@ def ot_resample_pallas(
         eps0 = jnp.where(valid, eps_warm, eps0)
 
     def cond_fn(state):
-        i, _, _, _, _, running, _ = state
+        i, _, _, running, _ = state
         it_ok = i < max_iter - 1
         agg = jnp.all(running) if convergence == "all" else jnp.any(running)
         if axis_name is not None:
@@ -388,33 +394,26 @@ def ot_resample_pallas(
         return jnp.logical_and(it_ok, agg)
 
     def body_fn(state):
-        i, a_y, b_x, a_x, b_y, running, eps_run = state
+        i, a_y, b_x, running, eps_run = state
         eps_col = eps_run[:, None]
         run = running[:, None]
-        # one fused kernel for all four softmins (shared cost blocks)
+        # one fused kernel for both live softmins (shared cost blocks)
         outs = sm4(eps_run, jnp.stack([
             logw_sg + b_x / eps_col,
             uniform_logw + a_y / eps_col,
-            logw_sg + a_x / eps_col,
-            uniform_logw + b_y / eps_col,
         ], axis=1))
         at_y = jnp.where(run, outs[:, 0], a_y)
         bt_x = jnp.where(run, outs[:, 1], b_x)
-        at_x = jnp.where(run, outs[:, 2], a_x)
-        bt_y = jnp.where(run, outs[:, 3], b_y)
         a_y_new, b_x_new = (a_y + at_y) / 2, (b_x + bt_x) / 2
-        a_x_new, b_y_new = (a_x + at_x) / 2, (b_y + bt_y) / 2
         a_diff = jnp.max(jnp.abs(a_y_new - a_y), axis=1)
         b_diff = jnp.max(jnp.abs(b_x_new - b_x), axis=1)
         local = jnp.logical_or(a_diff > threshold, b_diff > threshold)
         new_eps = jnp.maximum(eps_run * scaling_factor, eps_target)
         glob = jnp.logical_or(new_eps < eps_run, local)
-        return i + 1, a_y_new, b_x_new, a_x_new, b_y_new, glob, new_eps
+        return i + 1, a_y_new, b_x_new, glob, new_eps
 
-    state0 = (jnp.asarray(0), a_y, b_x, a_x, b_y,
-              jnp.ones((b,), bool), eps0)
-    n_iter, a_y, b_x, a_x, b_y, _, _ = jax.lax.while_loop(
-        cond_fn, body_fn, state0)
+    state0 = (jnp.asarray(0), a_y, b_x, jnp.ones((b,), bool), eps0)
+    n_iter, a_y, b_x, _, _ = jax.lax.while_loop(cond_fn, body_fn, state0)
 
     eps_b = jnp.broadcast_to(eps_target, (b,))
     finals = sm4(eps_b, jnp.stack([
@@ -439,7 +438,7 @@ def ot_resample_pallas(
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
     if return_extras:
         extras = {
-            "potentials": jnp.stack([a_y, b_x, a_x, b_y], axis=1),
+            "potentials": jnp.stack([a_y, b_x], axis=1),
             "iters": n_iter.astype(jnp.int32),
         }
         return transported, uniform, idx, extras
@@ -522,12 +521,13 @@ def ot_resample_pallas_sharded(
         return jax.lax.all_gather(jnp.stack(pots, axis=1), particle_axis,
                                   axis=2, tiled=True)
 
+    # only (a_y, b_x) are live — see the unsharded kernel's note on the
+    # reference's dead (a_x, b_y) debiasing potentials
     init = sm4(eps0, jnp.stack([logw_all, uniform_all], axis=1))
     a_y, b_x = init[:, 0], init[:, 1]                # (B, N/S) local rows
-    a_x, b_y = a_y, b_x
 
     def cond_fn(state):
-        i, _, _, _, _, running, _ = state
+        i, _, _, running, _ = state
         it_ok = i < max_iter - 1
         agg = jnp.all(running) if convergence == "all" else jnp.any(running)
         if data_axis is not None:
@@ -539,22 +539,17 @@ def ot_resample_pallas_sharded(
         return jnp.logical_and(it_ok, agg)
 
     def body_fn(state):
-        i, a_y, b_x, a_x, b_y, running, eps_run = state
-        pots = gather_pots(a_y, b_x, a_x, b_y)                  # (B, 4, N)
+        i, a_y, b_x, running, eps_run = state
+        pots = gather_pots(a_y, b_x)                            # (B, 2, N)
         eps_col = eps_run[:, None]
         run = running[:, None]
         outs = sm4(eps_run, jnp.stack([
             logw_all + pots[:, 1] / eps_col,
             uniform_all + pots[:, 0] / eps_col,
-            logw_all + pots[:, 2] / eps_col,
-            uniform_all + pots[:, 3] / eps_col,
         ], axis=1))
         at_y = jnp.where(run, outs[:, 0], a_y)
         bt_x = jnp.where(run, outs[:, 1], b_x)
-        at_x = jnp.where(run, outs[:, 2], a_x)
-        bt_y = jnp.where(run, outs[:, 3], b_y)
         a_y_new, b_x_new = (a_y + at_y) / 2, (b_x + bt_x) / 2
-        a_x_new, b_y_new = (a_x + at_x) / 2, (b_y + bt_y) / 2
         # convergence over the FULL potential vectors: local max, then pmax
         a_diff = jax.lax.pmax(
             jnp.max(jnp.abs(a_y_new - a_y), axis=1), particle_axis)
@@ -563,11 +558,10 @@ def ot_resample_pallas_sharded(
         local = jnp.logical_or(a_diff > threshold, b_diff > threshold)
         new_eps = jnp.maximum(eps_run * scaling_factor, eps_target)
         glob = jnp.logical_or(new_eps < eps_run, local)
-        return i + 1, a_y_new, b_x_new, a_x_new, b_y_new, glob, new_eps
+        return i + 1, a_y_new, b_x_new, glob, new_eps
 
-    state0 = (jnp.asarray(0), a_y, b_x, a_x, b_y,
-              jnp.ones((b,), bool), eps0)
-    _, a_y, b_x, a_x, b_y, _, _ = jax.lax.while_loop(cond_fn, body_fn, state0)
+    state0 = (jnp.asarray(0), a_y, b_x, jnp.ones((b,), bool), eps0)
+    _, a_y, b_x, _, _ = jax.lax.while_loop(cond_fn, body_fn, state0)
 
     eps_b = jnp.broadcast_to(eps_target, (b,))
     pots = gather_pots(a_y, b_x)                                 # (B, 2, N)

@@ -104,10 +104,23 @@ class Trainer:
 
         # AE loss reuses the filter's encodings — the reference re-encodes
         # every frame a second time (`losses.py:5-16`); same parameters, same
-        # gradient paths, half the conv FLOPs.
-        recon, dec_bn = engine.decode(
-            variables, encodings.reshape(b * t, -1), train=train
-        )
+        # gradient paths, half the conv FLOPs.  Under the encode_per_step
+        # ablation the reference's exact computation is reproduced instead:
+        # a SECOND full-frame encode (BN batch statistics over all B·T
+        # frames, running stats updated on top of the filter's per-step
+        # updates) feeds the decoder.
+        if cfg.encode_per_step and train:
+            vars_bn = {
+                **variables,
+                "encoder": {**variables["encoder"], "batch_stats": enc_bn},
+            }
+            ae_enc, enc_bn = engine.encode(
+                vars_bn, images.reshape((b * t,) + images.shape[2:]),
+                train=True,
+            )
+        else:
+            ae_enc = encodings.reshape(b * t, -1)
+        recon, dec_bn = engine.decode(variables, ae_enc, train=train)
         loss_ae = L.autoencoder_loss(
             images.reshape((b * t,) + images.shape[2:]), recon
         )

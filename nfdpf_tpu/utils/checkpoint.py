@@ -29,6 +29,15 @@ def restore_checkpoint(path: str, target: Any) -> Any:
         return ckptr.restore(path, target)
 
 
+def checkpoint_metadata(path: str) -> Any:
+    """Shape/dtype metadata tree of a saved checkpoint (no array reads) —
+    lets callers build a matching restore template for checkpoints written
+    by older code versions.  Leaves carry ``.shape``/``.dtype``."""
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.metadata(path).item_metadata.tree
+
+
 def latest_checkpoint(root: str, prefix: str = "ckpt_") -> Optional[str]:
     if not os.path.isdir(root):
         return None

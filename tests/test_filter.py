@@ -243,3 +243,46 @@ def test_filter_warm_start_requires_streaming_path():
     with pytest.raises(ValueError, match="warm_start"):
         engine.filter(variables, images, start, vel, jax.random.PRNGKey(0),
                       train=False)
+
+
+def test_encode_per_step_ablation():
+    """encode_per_step runs the conv encoder inside the scan (per-step BN
+    batch statistics, `DPFs.py:177`); eval mode is unaffected (BN running
+    stats make hoisted and per-step encodes the same function)."""
+    from nfdpf_tpu.train import Trainer
+
+    key = jax.random.PRNGKey(0)
+    cfg = _small_cfg(encode_per_step=True)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    t = cfg.sequence_length
+    batch = {
+        "image": jax.random.uniform(k1, (2, t, 128, 128, 3)),
+        "state": jax.random.normal(k2, (2, t, 4)) * 10,
+        "start_state": jax.random.normal(k3, (2, 4)) * 10,
+    }
+    step = trainer.make_train_step()
+    new_state, metrics = step(state, batch, key)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # BN running stats differ from the hoisted mode after one step: the
+    # per-step path applies T per-step updates + one full-frame AE update
+    cfg_h = _small_cfg(encode_per_step=False)
+    trainer_h = Trainer(cfg_h)
+    state_h = trainer_h.init_state(jax.random.PRNGKey(1))
+    new_h, _ = trainer_h.make_train_step()(state_h, batch, key)
+    a = jax.tree_util.tree_leaves(new_state.rest["encoder"]["batch_stats"])
+    b = jax.tree_util.tree_leaves(new_h.rest["encoder"]["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b)
+    )
+
+    # eval: per-step and hoisted are identical functions in eval mode
+    # (fresh states: the train step donated/consumed the originals)
+    ev = trainer.make_eval_step()
+    ev_h = trainer_h.make_eval_step()
+    m1, _ = ev(trainer.init_state(jax.random.PRNGKey(1)), batch, key)
+    m2, _ = ev_h(trainer_h.init_state(jax.random.PRNGKey(1)), batch, key)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)

@@ -168,11 +168,11 @@ def test_warm_start_invalid_flag_is_identity():
     cold = sp.ot_resample_pallas(x, probs, **kw)
     warm = sp.ot_resample_pallas(
         x, probs, **kw,
-        warm_start=(jnp.zeros((2, 4, 40)), jnp.asarray(False)),
+        warm_start=(jnp.zeros((2, 2, 40)), jnp.asarray(False)),
         return_extras=True,
     )
     np.testing.assert_array_equal(np.asarray(warm[0]), np.asarray(cold[0]))
-    assert warm[3]["potentials"].shape == (2, 4, 40)
+    assert warm[3]["potentials"].shape == (2, 2, 40)
     assert int(warm[3]["iters"]) > 0
 
 
