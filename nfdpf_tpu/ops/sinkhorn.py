@@ -86,8 +86,6 @@ class _LoopState(NamedTuple):
     i: Array
     a_y: Array
     b_x: Array
-    a_x: Array
-    b_y: Array
     running: Array          # (B,) bool
     eps: Array              # (B,) running epsilon
 
@@ -110,8 +108,17 @@ def sinkhorn_loop(
 
     Runs entirely under ``stop_gradient`` (the caller detaches inputs), then
     performs ONE differentiable softmin round at the target ε.
-    Returns (a_y, b_x, a_x, b_y, total_iter).
+    Returns (a_y, b_x, total_iter).
+
+    The reference's loop also maintains the self-transport potentials
+    (a_x, b_y) — but they never influence (a_y, b_x), the convergence test,
+    or the transport assembly (`resamplers.py:190-191` discards them:
+    ``alpha, beta, _, _, _``); they are a Sinkhorn-divergence debiasing
+    vestige.  Dropping them halves the loop's softmin count with
+    bit-identical (a_y, b_x) trajectories (cost_xx/cost_yy are accepted for
+    signature parity but unused).
     """
+    del cost_xx, cost_yy
     eps_target = jnp.asarray(epsilon, cost_xy.dtype)
     batch = log_alpha.shape[0]
     eps0 = particles_diameter**2
@@ -119,8 +126,6 @@ def sinkhorn_loop(
 
     a_y = softmin(eps0, cost_yx, log_alpha)
     b_x = softmin(eps0, cost_xy, log_beta)
-    a_x = softmin(eps0, cost_xx, log_alpha)
-    b_y = softmin(eps0, cost_yy, log_beta)
 
     def cond_fn(s: _LoopState):
         it_ok = s.i < max_iter - 1
@@ -134,22 +139,18 @@ def sinkhorn_loop(
         run = s.running[:, None]
         at_y = jnp.where(run, softmin(s.eps, cost_yx, log_alpha + s.b_x / eps_), s.a_y)
         bt_x = jnp.where(run, softmin(s.eps, cost_xy, log_beta + s.a_y / eps_), s.b_x)
-        at_x = jnp.where(run, softmin(s.eps, cost_xx, log_alpha + s.a_x / eps_), s.a_x)
-        bt_y = jnp.where(run, softmin(s.eps, cost_yy, log_beta + s.b_y / eps_), s.b_y)
         a_y_new = (s.a_y + at_y) / 2
         b_x_new = (s.b_x + bt_x) / 2
-        a_x_new = (s.a_x + at_x) / 2
-        b_y_new = (s.b_y + bt_y) / 2
         a_y_diff = jnp.max(jnp.abs(a_y_new - s.a_y), axis=1)
         b_x_diff = jnp.max(jnp.abs(b_x_new - s.b_x), axis=1)
         local_continue = jnp.logical_or(a_y_diff > threshold, b_x_diff > threshold)
         new_eps = jnp.maximum(s.eps * scaling_factor, eps_target)
         global_continue = jnp.logical_or(new_eps < s.eps, local_continue)
-        return _LoopState(s.i + 1, a_y_new, b_x_new, a_x_new, b_y_new,
+        return _LoopState(s.i + 1, a_y_new, b_x_new,
                           global_continue, new_eps)
 
     init = _LoopState(
-        jnp.asarray(0), a_y, b_x, a_x, b_y,
+        jnp.asarray(0), a_y, b_x,
         jnp.ones((batch,), bool), jnp.broadcast_to(eps0, (batch,))
     )
     # the annealing loop itself is never differentiated (caller stop-grads
@@ -160,15 +161,11 @@ def sinkhorn_loop(
     # (`resamplers.py:172-178`).
     ca_y = jax.lax.stop_gradient(final.a_y)
     cb_x = jax.lax.stop_gradient(final.b_x)
-    ca_x = jax.lax.stop_gradient(final.a_x)
-    cb_y = jax.lax.stop_gradient(final.b_y)
     eps_b = jnp.broadcast_to(eps_target, (batch,))
     eps_col = eps_b[:, None]
     final_a_y = softmin(eps_b, cost_yx, log_alpha + cb_x / eps_col)
     final_b_x = softmin(eps_b, cost_xy, log_beta + ca_y / eps_col)
-    final_a_x = softmin(eps_b, cost_xx, log_alpha + ca_x / eps_col)
-    final_b_y = softmin(eps_b, cost_yy, log_beta + cb_y / eps_col)
-    return final_a_y, final_b_x, final_a_x, final_b_y, final.i + 2
+    return final_a_y, final_b_x, final.i + 2
 
 
 def sinkhorn_potentials(
@@ -230,7 +227,7 @@ def sinkhorn_transport(
     diam = diameter(x, x)
     scale = sg(diam[:, None, None] * math.sqrt(d))
     scaled_x = centered / scale
-    alpha, beta, _, _, _ = sinkhorn_potentials(
+    alpha, beta, _ = sinkhorn_potentials(
         logw, scaled_x, uniform_logw, scaled_x,
         eps, scaling, threshold, max_iter, convergence
     )
