@@ -232,6 +232,14 @@ def parse_args(argv=None) -> DPFConfig:
                    action="store_true")
     p.add_argument("--torch-init", dest="torch_init", action="store_true")
     p.add_argument("--remat", dest="remat_scan_step", action="store_true")
+    p.add_argument("--warm-start", dest="sinkhorn_warm_start",
+                   action="store_true",
+                   help="carry Sinkhorn potentials across ESS-gate firings "
+                        "(streaming-Pallas OT path)")
+    p.add_argument("--encode-per-step", dest="encode_per_step",
+                   action="store_true",
+                   help="reference-parity BN ablation: encoder inside the "
+                        "time loop + separate AE-loss encode")
     p.add_argument("--no-fused-epoch", dest="fused_epoch", action="store_false",
                    help="disable the device-staged fused-epoch trainer and "
                         "dispatch one jitted step per batch instead")

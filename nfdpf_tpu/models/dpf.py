@@ -182,39 +182,87 @@ class DPF:
             variables["measurement"], enc, particles
         )
 
-    def _streaming_ot_single(self) -> bool:
-        """True when resampling dispatches to the SINGLE-DEVICE streaming
-        Pallas Sinkhorn — the path that supports potential warm-starting and
-        iteration telemetry."""
+    def _streaming_ot(self) -> bool:
+        """True when resampling dispatches to a streaming Pallas Sinkhorn
+        path (single-device, data-sharded, or particle-sharded) — all of
+        which support potential warm-starting and iteration telemetry."""
         cfg = self.config
-        if not (cfg.resampler_type == "ot" and cfg.use_pallas
-                and not cfg.ot_transport_grad):
-            return False
-        if self.mesh is None:
-            return True
-        from nfdpf_tpu.parallel.mesh import DATA_AXIS, PARTICLE_AXIS
+        return (cfg.resampler_type == "ot" and cfg.use_pallas
+                and not cfg.ot_transport_grad)
 
-        return (self.mesh.shape[DATA_AXIS] == 1
-                and self.mesh.shape[PARTICLE_AXIS] == 1)
+    def _resample_streaming(self, particles, probs, warm_state):
+        """Streaming-Pallas OT resample with warm-start carry + telemetry.
 
-    def _resample_streaming(self, particles, probs, warm_state=None):
-        """Single-device streaming-Pallas OT resample with extras.
-
-        warm_state: optional ((B, 2, N) potentials, scalar-bool valid) from
-        the previous firing (config ``sinkhorn_warm_start``).
+        warm_state: ((B, 2, N) potentials, scalar-bool valid) from the
+        previous firing; the kernel uses it only when
+        ``config.sinkhorn_warm_start``.  Under a particle-sharded mesh the
+        potentials array is sharded like the particles, so each shard's
+        kernel receives/returns exactly its local row block.
         Returns (particles', probs', idx, potentials, iters).
         """
-        from nfdpf_tpu.ops.pallas.sinkhorn_pallas import ot_resample_pallas
+        from nfdpf_tpu.ops.pallas.sinkhorn_pallas import (
+            ot_resample_pallas,
+            ot_resample_pallas_sharded,
+        )
+        from nfdpf_tpu.parallel.mesh import DATA_AXIS, PARTICLE_AXIS
 
         cfg = self.config
-        p, w, idx, extras = ot_resample_pallas(
-            particles, probs, eps=cfg.epsilon, scaling=cfg.scaling,
-            threshold=cfg.threshold, max_iter=cfg.max_iter,
-            convergence=cfg.sinkhorn_convergence,
-            warm_start=warm_state,
-            warm_eps_factor=cfg.sinkhorn_warm_eps_factor,
-            return_extras=True,
-        )
+        mesh = self.mesh
+        pot, pot_valid = warm_state
+        if not cfg.sinkhorn_warm_start:
+            pot_valid = jnp.asarray(False)
+        kw = dict(eps=cfg.epsilon, scaling=cfg.scaling,
+                  threshold=cfg.threshold, max_iter=cfg.max_iter,
+                  convergence=cfg.sinkhorn_convergence,
+                  warm_eps_factor=cfg.sinkhorn_warm_eps_factor)
+
+        if mesh is None or (mesh.shape[DATA_AXIS] == 1
+                            and mesh.shape[PARTICLE_AXIS] == 1):
+            p, w, idx, extras = ot_resample_pallas(
+                particles, probs, warm_start=(pot, pot_valid),
+                return_extras=True, **kw,
+            )
+            return p, w, idx, extras["potentials"], extras["iters"]
+
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(DATA_AXIS, PARTICLE_AXIS)
+        pot_spec = P(DATA_AXIS, None, PARTICLE_AXIS)
+        if mesh.shape[PARTICLE_AXIS] > 1:
+            if particles.shape[1] % mesh.shape[PARTICLE_AXIS]:
+                raise ValueError(
+                    f"particle count {particles.shape[1]} not divisible by "
+                    f"particle-axis size {mesh.shape[PARTICLE_AXIS]}"
+                )
+            fn = jax.shard_map(
+                lambda p_, w_, po_, v_: ot_resample_pallas_sharded(
+                    p_, w_, particle_axis=PARTICLE_AXIS,
+                    data_axis=DATA_AXIS, warm_start=(po_, v_),
+                    return_extras=True, **kw),
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS, PARTICLE_AXIS, None), spec,
+                          pot_spec, P()),
+                out_specs=(P(DATA_AXIS, PARTICLE_AXIS, None), spec, spec,
+                           {"potentials": pot_spec, "iters": P()}),
+                check_vma=False,
+            )
+        else:
+            if particles.shape[0] % mesh.shape[DATA_AXIS]:
+                raise ValueError(
+                    f"batch {particles.shape[0]} not divisible by "
+                    f"data-axis size {mesh.shape[DATA_AXIS]}"
+                )
+            fn = jax.shard_map(
+                lambda p_, w_, po_, v_: ot_resample_pallas(
+                    p_, w_, axis_name=DATA_AXIS, warm_start=(po_, v_),
+                    return_extras=True, **kw),
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+                out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                           {"potentials": P(DATA_AXIS), "iters": P()}),
+                check_vma=False,
+            )
+        p, w, idx, extras = fn(particles, probs, pot, pot_valid)
         return p, w, idx, extras["potentials"], extras["iters"]
 
     def _resample(self, key, particles, probs):
@@ -357,13 +405,13 @@ class DPF:
                     cfg.flow_hidden_dim,
                 )
 
-        streaming_ot = self._streaming_ot_single()
+        streaming_ot = self._streaming_ot()
         warm = cfg.sinkhorn_warm_start
         if warm and not streaming_ot:
             raise ValueError(
-                "sinkhorn_warm_start requires the single-device streaming "
-                "Pallas OT path (resampler_type='ot', use_pallas=True, "
-                "ot_transport_grad=False, unsharded mesh)"
+                "sinkhorn_warm_start requires the streaming Pallas OT path "
+                "(resampler_type='ot', use_pallas=True, "
+                "ot_transport_grad=False)"
             )
 
         def step(carry, xs):
@@ -398,8 +446,7 @@ class DPF:
                 # survive gate-closed steps
                 def _fire():
                     p, w, i, pots, iters = self._resample_streaming(
-                        particles, probs,
-                        warm_state=(pot, pot_valid) if warm else None,
+                        particles, probs, (pot, pot_valid)
                     )
                     return p, w, i, pots, jnp.asarray(True), iters
                 particles_r, probs_r, idx, pot, pot_valid, sk_iters = (
@@ -465,8 +512,9 @@ class DPF:
         )
         carry0 = (particles, probs, vel0, jnp.asarray(0.0), k_scan)
         if streaming_ot:
-            carry0 = carry0 + (
-                jnp.zeros((batch, 2, n), jnp.float32), jnp.asarray(False))
+            pot0 = constrain(jnp.zeros((batch, 2, n), jnp.float32),
+                             self.mesh, "data", None, "particle")
+            carry0 = carry0 + (pot0, jnp.asarray(False))
         if per_step_encode:
             carry0 = carry0 + (variables["encoder"]["batch_stats"],)
         carry, ys = jax.lax.scan(step, carry0, xs)

@@ -461,7 +461,10 @@ def ot_resample_pallas_sharded(
     threshold: float = 1e-3,
     max_iter: int = 100,
     convergence: str = "all",
-) -> Tuple[Array, Array, Array]:
+    warm_start: Tuple[Array, Array] | None = None,
+    warm_eps_factor: float = 16.0,
+    return_extras: bool = False,
+):
     """Streaming OT resampling with the PARTICLE axis sharded across chips.
 
     Per-shard body for ``shard_map``: ``particles`` is the local column
@@ -525,6 +528,18 @@ def ot_resample_pallas_sharded(
     # reference's dead (a_x, b_y) debiasing potentials
     init = sm4(eps0, jnp.stack([logw_all, uniform_all], axis=1))
     a_y, b_x = init[:, 0], init[:, 1]                # (B, N/S) local rows
+    if warm_start is not None:
+        # pots_prev: this shard's LOCAL row block (B, 2, N/S) — the carry
+        # is sharded with the particle axis, so each shard receives exactly
+        # the rows it owns
+        pots_prev, valid = warm_start
+        pots_prev = sg(pots_prev)
+        a_y = jnp.where(valid, pots_prev[:, 0], a_y)
+        b_x = jnp.where(valid, pots_prev[:, 1], b_x)
+        eps_warm = jnp.maximum(
+            jnp.minimum(eps0, eps_target * warm_eps_factor), eps_target
+        )
+        eps0 = jnp.where(valid, eps_warm, eps0)
 
     def cond_fn(state):
         i, _, _, running, _ = state
@@ -561,7 +576,7 @@ def ot_resample_pallas_sharded(
         return i + 1, a_y_new, b_x_new, glob, new_eps
 
     state0 = (jnp.asarray(0), a_y, b_x, jnp.ones((b,), bool), eps0)
-    _, a_y, b_x, _, _ = jax.lax.while_loop(cond_fn, body_fn, state0)
+    n_iter, a_y, b_x, _, _ = jax.lax.while_loop(cond_fn, body_fn, state0)
 
     eps_b = jnp.broadcast_to(eps_target, (b,))
     pots = gather_pots(a_y, b_x)                                 # (B, 2, N)
@@ -591,4 +606,10 @@ def ot_resample_pallas_sharded(
     idx = (my * n_loc
            + jnp.broadcast_to(jnp.arange(n_loc, dtype=jnp.int32)[None, :],
                               (b, n_loc))).astype(jnp.int32)
+    if return_extras:
+        extras = {
+            "potentials": jnp.stack([a_y, b_x], axis=1),  # local rows
+            "iters": n_iter.astype(jnp.int32),
+        }
+        return transported, uniform, idx, extras
     return transported, uniform, idx

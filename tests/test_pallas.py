@@ -241,3 +241,56 @@ def test_warm_start_gradient_topology_unchanged():
     # the convergence threshold)
     np.testing.assert_allclose(np.asarray(g_warm), np.asarray(g_cold),
                                rtol=5e-2, atol=5e-3)
+
+
+def test_warm_start_sharded_matches_unsharded():
+    """Sharded warm start: the potentials carry is sharded like the
+    particles, and warm/cold behave exactly as the unsharded kernel."""
+    import pytest
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    x, probs = _cloud(jax.random.PRNGKey(20), b=2, n=64)
+    kw = dict(eps=0.1, scaling=0.75, threshold=1e-3, max_iter=100)
+
+    ref_p, _, _, ref_ex = sp.ot_resample_pallas(
+        x, probs, **kw, return_extras=True)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("particle",))
+    pot_spec = P(None, None, "particle")
+    fn = jax.shard_map(
+        lambda p, w, po, v: sp.ot_resample_pallas_sharded(
+            p, w, particle_axis="particle", warm_start=(po, v),
+            return_extras=True, **kw),
+        mesh=mesh,
+        in_specs=(P(None, "particle", None), P(None, "particle"),
+                  pot_spec, P()),
+        out_specs=(P(None, "particle", None), P(None, "particle"),
+                   P(None, "particle"),
+                   {"potentials": pot_spec, "iters": P()}),
+        check_vma=False,
+    )
+    # cold (invalid warm flag) must match the unsharded kernel
+    zeros = jnp.zeros((2, 2, 64))
+    p_cold, _, _, ex_cold = jax.jit(fn)(x, probs, zeros,
+                                        jnp.asarray(False))
+    np.testing.assert_allclose(np.asarray(p_cold), np.asarray(ref_p),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ex_cold["potentials"]),
+                               np.asarray(ref_ex["potentials"]),
+                               rtol=1e-4, atol=1e-5)
+    assert int(ex_cold["iters"]) == int(ref_ex["iters"])
+
+    # warm from the previous firing's (sharded) potentials: fewer iters,
+    # matching the unsharded warm kernel's output
+    x2 = x + 0.05 * jax.random.normal(jax.random.PRNGKey(21), x.shape)
+    p_wu, _, _, ex_wu = sp.ot_resample_pallas(
+        x2, probs, **kw, warm_start=(ref_ex["potentials"],
+                                     jnp.asarray(True)),
+        return_extras=True)
+    p_ws, _, _, ex_ws = jax.jit(fn)(x2, probs, ex_cold["potentials"],
+                                    jnp.asarray(True))
+    np.testing.assert_allclose(np.asarray(p_ws), np.asarray(p_wu),
+                               rtol=1e-4, atol=1e-5)
+    assert int(ex_ws["iters"]) == int(ex_wu["iters"])
