@@ -199,7 +199,7 @@ def main() -> None:
                 n = int(tree["epoch"]) + 1
                 history = [float(x) for x in tree["history"][:n]]
                 resample_hist = [-1.0] * n  # sentinel: lost by legacy format
-                sinkhorn_hist = [0.0] * n
+                sinkhorn_hist = [-1.0] * n  # sentinel: lost by legacy fmt
             state = tree["state"]
             start_epoch = int(tree["epoch"]) + 1
             print(f"resumed from {latest}: epoch {start_epoch}, "

@@ -8,36 +8,42 @@
 # the fast regime; the per-epoch derivation of permutations/PRNG keys makes
 # the chunked trajectory identical to the uninterrupted one.
 #
+# Gives up after MAX_FAILS consecutive chunks WITHOUT epoch progress —
+# whether they crashed (rc!=0) or hung until the per-chunk timeout
+# (rc=124): a wedged tunnel otherwise burns 2-hour cycles forever.
+#
 # Usage: run_chunked.sh <total_epochs> <epochs_per_proc> <rmse_run args...>
 set -u
 TOTAL=$1; CHUNK=$2; shift 2
 cd "$(dirname "$0")/.."
 FAILS=0
 MAX_FAILS=3
+PREV_DONE=-1
 while true; do
   timeout 7200 python experiments/rmse_run.py --epochs "$TOTAL" \
     --epochs-per-proc "$CHUNK" --resume "$@"
   rc=$?
   # find the out file from the args to know where we are
-  OUT=$(python - "$@" <<'EOF'
+  OUT=$(python - "$@" <<'PYEOF'
 import sys
 a = sys.argv[1:]
 print(a[a.index("--out") + 1] if "--out" in a else "experiments/rmse_results.json")
-EOF
+PYEOF
 )
   DONE=$(python -c "import json,sys; print(json.load(open('$OUT'))['epochs'])" 2>/dev/null || echo 0)
   echo "[run_chunked] chunk rc=$rc, epochs done: $DONE/$TOTAL"
   if [ "$DONE" -ge "$TOTAL" ]; then echo "[run_chunked] complete"; break; fi
-  if [ "$rc" -ne 0 ] && [ "$rc" -ne 124 ]; then
+  if [ "$DONE" -gt "$PREV_DONE" ]; then
+    FAILS=0
+  else
     FAILS=$((FAILS + 1))
     if [ "$FAILS" -ge "$MAX_FAILS" ]; then
-      echo "[run_chunked] $FAILS consecutive non-timeout failures; giving up"
+      echo "[run_chunked] $FAILS consecutive chunks without progress" \
+           "(last rc=$rc); giving up"
       exit 1
     fi
-    echo "[run_chunked] non-timeout failure (rc=$rc);" \
-         "retry $FAILS/$MAX_FAILS after 30s"
-    sleep 30
-  else
-    FAILS=0
+    echo "[run_chunked] no progress (rc=$rc); retry $FAILS/$MAX_FAILS"
   fi
+  PREV_DONE=$DONE
+  if [ "$rc" -ne 0 ] && [ "$rc" -ne 124 ]; then sleep 30; fi
 done

@@ -273,67 +273,15 @@ class DPF:
             if cfg.use_pallas and not cfg.ot_transport_grad:
                 # flash-style streaming Sinkhorn: O(N·d) HBM traffic instead
                 # of materialised (B, N, N) cost matrices — required beyond
-                # ~N=8k where the dense path exhausts HBM.
-                from nfdpf_tpu.ops.pallas.sinkhorn_pallas import (
-                    ot_resample_pallas,
-                    ot_resample_pallas_sharded,
+                # ~N=8k where the dense path exhausts HBM.  One dispatcher
+                # (`_resample_streaming`) serves the filter's warm-start
+                # carry AND this plain entry (cold start, extras dropped).
+                b, n = probs.shape
+                p, w, idx, _, _ = self._resample_streaming(
+                    particles, probs,
+                    (jnp.zeros((b, 2, n), jnp.float32), jnp.asarray(False)),
                 )
-                from nfdpf_tpu.parallel.mesh import DATA_AXIS, PARTICLE_AXIS
-
-                mesh = self.mesh
-                kw = dict(eps=cfg.epsilon, scaling=cfg.scaling,
-                          threshold=cfg.threshold, max_iter=cfg.max_iter,
-                          convergence=cfg.sinkhorn_convergence)
-                if mesh is None or (
-                    mesh.shape[DATA_AXIS] == 1
-                    and mesh.shape[PARTICLE_AXIS] == 1
-                ):
-                    return ot_resample_pallas(particles, probs, **kw)
-                if mesh.shape[PARTICLE_AXIS] > 1:
-                    # particle axis sharded: per-shard streaming kernels over
-                    # local row blocks vs all-gathered columns; O(N·d) ICI
-                    # traffic per iteration, O(N²) never materialised
-                    # (BASELINE config 5: 10k particles sharded, OT).
-                    from jax.sharding import PartitionSpec as P
-
-                    if particles.shape[1] % mesh.shape[PARTICLE_AXIS]:
-                        raise ValueError(
-                            f"particle count {particles.shape[1]} not "
-                            f"divisible by particle-axis size "
-                            f"{mesh.shape[PARTICLE_AXIS]}"
-                        )
-                    spec = P(DATA_AXIS, PARTICLE_AXIS)
-                    fn = jax.shard_map(
-                        lambda p, w: ot_resample_pallas_sharded(
-                            p, w, particle_axis=PARTICLE_AXIS,
-                            data_axis=DATA_AXIS, **kw),
-                        mesh=mesh,
-                        in_specs=(P(DATA_AXIS, PARTICLE_AXIS, None), spec),
-                        out_specs=(P(DATA_AXIS, PARTICLE_AXIS, None), spec,
-                                   spec),
-                        check_vma=False,
-                    )
-                    return fn(particles, probs)
-                else:
-                    # batch rows are independent: run the kernel per data
-                    # shard via shard_map, aggregating only the while-loop
-                    # stopping decision so numerics match unsharded exactly
-                    from jax.sharding import PartitionSpec as P
-
-                    if particles.shape[0] % mesh.shape[DATA_AXIS]:
-                        raise ValueError(
-                            f"batch {particles.shape[0]} not divisible by "
-                            f"data-axis size {mesh.shape[DATA_AXIS]}"
-                        )
-                    fn = jax.shard_map(
-                        lambda p, w: ot_resample_pallas(
-                            p, w, axis_name=DATA_AXIS, **kw),
-                        mesh=mesh,
-                        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-                        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-                        check_vma=False,
-                    )
-                    return fn(particles, probs)
+                return p, w, idx
             return ot_resample(
                 particles, probs, eps=cfg.epsilon, scaling=cfg.scaling,
                 threshold=cfg.threshold, max_iter=cfg.max_iter,

@@ -361,13 +361,20 @@ def ot_resample_pallas(
     # vestige — dead in the resampling use.  Dropping them HALVES the fused
     # kernel's group count (the dominant per-iteration cost) while leaving
     # the a_y/b_x trajectories bit-identical.
-    init = sm4(eps0, jnp.stack([logw_sg, uniform_logw], axis=1))
-    a_y, b_x = init[:, 0], init[:, 1]
+    def _cold_init():
+        init = sm4(eps0, jnp.stack([logw_sg, uniform_logw], axis=1))
+        return init[:, 0], init[:, 1]
+
     if warm_start is not None:
         pots_prev, valid = warm_start
         pots_prev = sg(pots_prev)
-        a_y = jnp.where(valid, pots_prev[:, 0], a_y)
-        b_x = jnp.where(valid, pots_prev[:, 1], b_x)
+        # lax.cond, not where: a warm firing must not pay the cold-init
+        # softmin kernel pass only to discard it
+        a_y, b_x = jax.lax.cond(
+            valid,
+            lambda: (pots_prev[:, 0], pots_prev[:, 1]),
+            _cold_init,
+        )
         # keep a SHORT annealing tail (from warm_eps_factor·ε_target instead
         # of diameter²): fixed-ε Sinkhorn at small ε converges slowly when
         # the warm guess is stale (weights re-degenerate between firings),
@@ -378,6 +385,8 @@ def ot_resample_pallas(
             jnp.minimum(eps0, eps_target * warm_eps_factor), eps_target
         )
         eps0 = jnp.where(valid, eps_warm, eps0)
+    else:
+        a_y, b_x = _cold_init()
 
     def cond_fn(state):
         i, _, _, running, _ = state
@@ -526,20 +535,28 @@ def ot_resample_pallas_sharded(
 
     # only (a_y, b_x) are live — see the unsharded kernel's note on the
     # reference's dead (a_x, b_y) debiasing potentials
-    init = sm4(eps0, jnp.stack([logw_all, uniform_all], axis=1))
-    a_y, b_x = init[:, 0], init[:, 1]                # (B, N/S) local rows
+    def _cold_init():
+        init = sm4(eps0, jnp.stack([logw_all, uniform_all], axis=1))
+        return init[:, 0], init[:, 1]                # (B, N/S) local rows
+
     if warm_start is not None:
         # pots_prev: this shard's LOCAL row block (B, 2, N/S) — the carry
         # is sharded with the particle axis, so each shard receives exactly
-        # the rows it owns
+        # the rows it owns.  ``valid`` is replicated, so every shard takes
+        # the same cond branch (no collectives inside either branch).
         pots_prev, valid = warm_start
         pots_prev = sg(pots_prev)
-        a_y = jnp.where(valid, pots_prev[:, 0], a_y)
-        b_x = jnp.where(valid, pots_prev[:, 1], b_x)
+        a_y, b_x = jax.lax.cond(
+            valid,
+            lambda: (pots_prev[:, 0], pots_prev[:, 1]),
+            _cold_init,
+        )
         eps_warm = jnp.maximum(
             jnp.minimum(eps0, eps_target * warm_eps_factor), eps_target
         )
         eps0 = jnp.where(valid, eps_warm, eps0)
+    else:
+        a_y, b_x = _cold_init()
 
     def cond_fn(state):
         i, _, _, running, _ = state

@@ -95,15 +95,13 @@ def sinkhorn_loop(
     log_beta: Array,
     cost_xy: Array,
     cost_yx: Array,
-    cost_xx: Array,
-    cost_yy: Array,
     epsilon: float,
     particles_diameter: Array,
     scaling: float,
     threshold: float,
     max_iter: int,
     convergence: str = "all",
-) -> Tuple[Array, Array, Array, Array, Array]:
+) -> Tuple[Array, Array, Array]:
     """ε-annealed symmetric Sinkhorn (`resamplers.py:113-179`).
 
     Runs entirely under ``stop_gradient`` (the caller detaches inputs), then
@@ -115,10 +113,9 @@ def sinkhorn_loop(
     or the transport assembly (`resamplers.py:190-191` discards them:
     ``alpha, beta, _, _, _``); they are a Sinkhorn-divergence debiasing
     vestige.  Dropping them halves the loop's softmin count with
-    bit-identical (a_y, b_x) trajectories (cost_xx/cost_yy are accepted for
-    signature parity but unused).
+    bit-identical (a_y, b_x) trajectories, and removes the (B, N, N)
+    ``cost_xx``/``cost_yy`` matrices entirely.
     """
-    del cost_xx, cost_yy
     eps_target = jnp.asarray(epsilon, cost_xy.dtype)
     batch = log_alpha.shape[0]
     eps0 = particles_diameter**2
@@ -176,15 +173,15 @@ def sinkhorn_potentials(
     """Cost matrices + annealed loop (`resamplers.py:182-191`).
 
     Each cost matrix detaches its second operand, as in the reference.
+    The reference also builds ``cost_xx``/``cost_yy`` for its dead
+    debiasing potentials (see ``sinkhorn_loop``) — not materialised here.
     """
     sg = jax.lax.stop_gradient
     cost_xy = cost(x, sg(y))
     cost_yx = cost(y, sg(x))
-    cost_xx = cost(x, sg(x))
-    cost_yy = cost(y, sg(y))
     scale = sg(max_min(x, y))
     return sinkhorn_loop(
-        log_alpha, log_beta, cost_xy, cost_yx, cost_xx, cost_yy,
+        log_alpha, log_beta, cost_xy, cost_yx,
         epsilon, scale, scaling, threshold, max_iter, convergence
     )
 
